@@ -1,0 +1,227 @@
+"""Brownian Bridge Diffusion Model (pixel space), TPU-native.
+
+Functional re-design of the reference `model/BrownianBridge/BrownianBridgeModel.py`:
+the model object holds static configuration + precomputed schedule arrays and a
+flax UNet definition; every method is a pure function of (params, rng, data) so
+the runner can jit/shard them. The reverse sampler is a single `lax.scan` over
+stacked per-step coefficients — one compiled program for all 200 steps instead
+of 200 Python-loop dispatches (reference `:203-221`).
+
+Objectives (reference `:128-146`):
+    grad  : objective = m_t (y - x0) + sigma_t eps ; x0_hat = x_t - pred
+    noise : objective = eps           ; x0_hat = (x_t - m_t y - sigma_t pred)/(1-m_t)
+    ysubx : objective = y - x0        ; x0_hat = y - pred
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bbdm_tpu.models.schedules import (
+    BridgeSchedule,
+    SamplerCoeffs,
+    make_bridge_schedule,
+    make_sampler_coeffs,
+    make_sampling_steps,
+)
+from bbdm_tpu.models.unet import UNet
+
+
+def _bcast(a: jax.Array, ndim: int) -> jax.Array:
+    """Broadcast a per-example scalar [B] over trailing image dims (reference
+    `model/utils.py:4-11` extract)."""
+    return a.reshape(a.shape + (1,) * (ndim - 1))
+
+
+class BrownianBridgeModel:
+    """Pixel-space BBDM. ``model_config`` is the YAML ``model:`` subtree."""
+
+    def __init__(self, model_config, *, dtype=jnp.bfloat16):
+        self.model_config = model_config
+        bb = model_config.BB.params
+        self.num_timesteps = bb.num_timesteps
+        self.mt_type = bb.mt_type
+        self.max_var = bb.get("max_var", 1.0)
+        self.eta = bb.get("eta", 1.0)
+        self.skip_sample = bb.skip_sample
+        self.sample_type = bb.sample_type
+        self.sample_step = bb.sample_step
+        self.loss_type = bb.loss_type
+        self.objective = bb.objective
+        self.condition_key = bb.UNetParams.condition_key
+        self.image_size = bb.UNetParams.image_size
+        self.channels = bb.UNetParams.out_channels
+        self.dtype = dtype
+
+        self.schedule: BridgeSchedule = make_bridge_schedule(
+            self.num_timesteps, self.mt_type, self.max_var
+        )
+        self.steps: np.ndarray = make_sampling_steps(
+            self.num_timesteps, self.skip_sample, self.sample_type, self.sample_step
+        )
+        self.coeffs: SamplerCoeffs = make_sampler_coeffs(
+            self.num_timesteps, self.mt_type, self.max_var, self.steps, self.eta
+        )
+
+        init_scheme = model_config.get("init_scheme", "reference")
+        self.unet = UNet.from_config(
+            bb.UNetParams, condition_key=self.condition_key,
+            dtype=dtype, init_scheme=init_scheme,
+        )
+
+    # ---------------------------------------------------------------- params
+
+    def init_params(self, rng) -> dict:
+        H = self.image_size
+        x = jnp.zeros((1, H, H, self.channels), jnp.float32)
+        t = jnp.zeros((1,), jnp.int32)
+        ctx = None
+        if self.condition_key != "nocond":
+            ctx_ch = self.unet.in_channels - self.channels
+            ctx = jnp.zeros((1, H, H, ctx_ch), jnp.float32)
+        variables = self.unet.init(rng, x, t, ctx)
+        return {"unet": variables["params"]}
+
+    def trainable_mask(self, params) -> dict:
+        """Pytree mask of trainable leaves (everything, for pixel BBDM)."""
+        return jax.tree_util.tree_map(lambda _: True, params)
+
+    # ----------------------------------------------------------------- math
+
+    def denoise(self, params, x_t, t, context):
+        return self.unet.apply({"params": params["unet"]}, x_t, t, context)
+
+    def q_sample(self, x0, y, t, noise):
+        """Forward bridge draw + training objective (reference `:128-146`)."""
+        m_t = _bcast(jnp.asarray(self.schedule.m_t)[t], x0.ndim)
+        var_t = _bcast(jnp.asarray(self.schedule.variance_t)[t], x0.ndim)
+        sigma_t = jnp.sqrt(var_t)
+        x_t = (1.0 - m_t) * x0 + m_t * y + sigma_t * noise
+        if self.objective == "grad":
+            objective = m_t * (y - x0) + sigma_t * noise
+        elif self.objective == "noise":
+            objective = noise
+        elif self.objective == "ysubx":
+            objective = y - x0
+        else:
+            raise NotImplementedError(self.objective)
+        return x_t, objective
+
+    def predict_x0_from_objective(self, x_t, y, pred, *, m_t, sigma_t):
+        """Invert the objective to x0_hat (reference `:148-160`).
+
+        m_t/sigma_t: per-example broadcastable arrays for the current step.
+        """
+        if self.objective == "grad":
+            return x_t - pred
+        if self.objective == "noise":
+            return (x_t - m_t * y - sigma_t * pred) / (1.0 - m_t)
+        if self.objective == "ysubx":
+            return y - pred
+        raise NotImplementedError(self.objective)
+
+    # ----------------------------------------------------------------- loss
+
+    def loss(self, params, rng, x, y, context=None):
+        """Training loss (reference forward + p_losses `:88-126`).
+
+        Returns (loss, aux) where aux carries x0_recon for logging.
+        """
+        if self.condition_key == "nocond":
+            context = None
+        elif context is None:
+            context = y
+        B = x.shape[0]
+        t_rng, n_rng = jax.random.split(rng)
+        t = jax.random.randint(t_rng, (B,), 0, self.num_timesteps)
+        noise = jax.random.normal(n_rng, x.shape, x.dtype)
+
+        x_t, objective = self.q_sample(x, y, t, noise)
+        pred = self.denoise(params, x_t, t, context).astype(x.dtype)
+
+        if self.loss_type == "l1":
+            recloss = jnp.abs(objective - pred).mean()
+        elif self.loss_type == "l2":
+            recloss = jnp.mean((objective - pred) ** 2)
+        else:
+            raise NotImplementedError(self.loss_type)
+
+        m_t = _bcast(jnp.asarray(self.schedule.m_t)[t], x.ndim)
+        sigma_t = jnp.sqrt(_bcast(jnp.asarray(self.schedule.variance_t)[t], x.ndim))
+        x0_recon = self.predict_x0_from_objective(x_t, y, pred, m_t=m_t, sigma_t=sigma_t)
+        return recloss, {"loss": recloss, "x0_recon": x0_recon}
+
+    # -------------------------------------------------------------- sampling
+
+    def q_sample_loop(self, rng, x0, y):
+        """Forward-bridge trajectory for visualization (reference `:162-169`)."""
+        T = self.num_timesteps
+
+        def body(carry_rng, t):
+            rng, step_rng = jax.random.split(carry_rng)
+            noise = jax.random.normal(step_rng, x0.shape, x0.dtype)
+            x_t, _ = self.q_sample(x0, y, jnp.full((x0.shape[0],), t), noise)
+            return rng, x_t
+
+        _, imgs = jax.lax.scan(body, rng, jnp.arange(T))
+        return imgs
+
+    def p_sample_loop(self, params, rng, y, context=None, *, clip_denoised=True,
+                      sample_mid_step=False):
+        """Reverse skip-step sampler as one `lax.scan` (reference `:171-221`).
+
+        The bridge starts from the conditioning latent itself (x_T := y,
+        reference `:218`) — no Gaussian prior draw.
+        """
+        if self.condition_key == "nocond":
+            context = None
+        elif context is None:
+            context = y
+
+        c = self.coeffs
+        xs = {
+            "t": jnp.asarray(c.steps),
+            "a_xt": jnp.asarray(c.a_xt),
+            "a_x0": jnp.asarray(c.a_x0),
+            "a_y": jnp.asarray(c.a_y),
+            "sigma": jnp.asarray(c.sigma),
+            "m_t": jnp.asarray(c.m_t),
+            "sigma_fwd": jnp.asarray(c.sigma_fwd),
+        }
+        B = y.shape[0]
+
+        def body(carry, step):
+            x_t, rng = carry
+            rng, step_rng = jax.random.split(rng)
+            t = jnp.full((B,), step["t"], jnp.int32)
+            pred = self.denoise(params, x_t, t, context).astype(y.dtype)
+            x0_hat = self.predict_x0_from_objective(
+                x_t, y, pred, m_t=step["m_t"], sigma_t=step["sigma_fwd"]
+            )
+            if clip_denoised:
+                x0_hat = jnp.clip(x0_hat, -1.0, 1.0)
+            noise = jax.random.normal(step_rng, x_t.shape, x_t.dtype)
+            x_next = (
+                step["a_xt"] * x_t + step["a_x0"] * x0_hat + step["a_y"] * y
+                + step["sigma"] * noise
+            )
+            out = (x_next, x0_hat) if sample_mid_step else None
+            return (x_next, rng), out
+
+        (x_final, _), mids = jax.lax.scan(body, (y, rng), xs)
+        if sample_mid_step:
+            return mids  # (imgs [S,B,H,W,C], one_step_imgs [S,B,H,W,C])
+        return x_final
+
+    def sample(self, params, rng, y, context=None, *, clip_denoised=True,
+               sample_mid_step=False):
+        """reference `:223-225`."""
+        return self.p_sample_loop(
+            params, rng, y, context,
+            clip_denoised=clip_denoised, sample_mid_step=sample_mid_step,
+        )
