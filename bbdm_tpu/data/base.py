@@ -1,0 +1,50 @@
+"""Path-list image dataset (reference `datasets/base.py:7-49`), torch-free.
+
+Loads with PIL, resizes bilinear to (H, W), converts to float32 NHWC in [0,1]
+with optional [-1,1] normalization, and implements the reference's
+flip-doubling trick: when ``flip`` is on, the dataset length doubles and
+indices past the original length return the horizontally flipped image.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+
+def load_image(path: str, image_size: tuple[int, int], flip: bool, to_normal: bool) -> np.ndarray:
+    """Decode -> RGB -> resize (H,W) -> [0,1] float32 HWC; optional flip/normalize."""
+    img = Image.open(path)
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    if flip:
+        img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    # PIL resize takes (W, H); reference uses torchvision Resize((H, W)) bilinear
+    img = img.resize((image_size[1], image_size[0]), Image.BILINEAR)
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    if to_normal:
+        arr = np.clip(arr * 2.0 - 1.0, -1.0, 1.0)
+    return arr
+
+
+class ImagePathDataset:
+    def __init__(self, image_paths, image_size=(256, 256), flip=False, to_normal=False):
+        self.image_paths = list(image_paths)
+        self.image_size = tuple(image_size)
+        self._length = len(self.image_paths)
+        self.flip = flip
+        self.to_normal = to_normal
+
+    def __len__(self):
+        return self._length * 2 if self.flip else self._length
+
+    def __getitem__(self, index):
+        do_flip = False
+        if index >= self._length:
+            index -= self._length
+            do_flip = True
+        path = self.image_paths[index]
+        img = load_image(path, self.image_size, do_flip, self.to_normal)
+        return img, Path(path).stem

@@ -1,0 +1,120 @@
+"""Host-side batching loader with background prefetch.
+
+Replaces the reference's torch DataLoader + DistributedSampler
+(`runners/BaseRunner.py:341-379,562-575`): deterministic per-epoch shuffling,
+drop_last batching, per-process sharding for multi-host TPU training (each
+host loads only its shard — the TPU-native equivalent of DistributedSampler,
+SURVEY.md §2.3), and a background thread that decodes/collates the next
+batches while the device computes.
+
+Batches are dicts of stacked float32 numpy arrays (NHWC) plus name lists:
+    {"x": [B,H,W,C], "x_name": [B], "x_cond": [B,H,W,C], "x_cond_name": [B]}
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+
+def _collate(items) -> dict:
+    xs, x_names, conds, cond_names = [], [], [], []
+    for (x, xn), (c, cn) in items:
+        xs.append(x)
+        x_names.append(xn)
+        conds.append(c)
+        cond_names.append(cn)
+    return {
+        "x": np.stack(xs).astype(np.float32),
+        "x_name": x_names,
+        "x_cond": np.stack(conds).astype(np.float32),
+        "x_cond_name": cond_names,
+    }
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        *,
+        shuffle: bool = False,
+        drop_last: bool = True,
+        seed: int = 0,
+        shard_count: int = 1,
+        shard_index: int = 0,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.shard_count = shard_count
+        self.shard_index = shard_index
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Reshuffle per epoch (reference DistributedSampler.set_epoch,
+        `BaseRunner.py:392-393`); also reseeds inpainting masks."""
+        self.epoch = int(epoch)
+        if hasattr(self.dataset, "set_epoch_seed"):
+            self.dataset.set_epoch_seed(self.seed + self.epoch)
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(idx)
+        if self.shard_count > 1:
+            # pad to a multiple of shard_count like DistributedSampler
+            pad = (-len(idx)) % self.shard_count
+            if pad:
+                idx = np.concatenate([idx, idx[:pad]])
+            idx = idx[self.shard_index :: self.shard_count]
+        return idx
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self) -> Iterator[dict]:
+        idx = self._indices()
+        nb = len(self)
+        for b in range(nb):
+            chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            yield _collate([self.dataset[int(i)] for i in chunk])
+
+    def __iter__(self) -> Iterator[dict]:
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err = []
+
+        def worker():
+            try:
+                for batch in self._batches():
+                    q.put(batch)
+            except BaseException as e:  # propagate to consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item

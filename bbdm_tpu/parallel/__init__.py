@@ -1,0 +1,8 @@
+"""Device mesh + sharding helpers (data parallelism over ICI/DCN)."""
+
+from bbdm_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    shard_batch,
+    replicate,
+    local_device_count,
+)

@@ -1,0 +1,4 @@
+"""Runners: training/eval lifecycle engines (registered by name)."""
+
+from bbdm_tpu.runners.base import BaseRunner  # noqa: F401
+from bbdm_tpu.runners.bbdm import BBDMRunner  # noqa: F401

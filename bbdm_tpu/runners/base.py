@@ -1,0 +1,404 @@
+"""BaseRunner: the training/eval lifecycle engine.
+
+Functional re-design of the reference's `runners/BaseRunner.py:25-595`: the
+mutable net/optimizer/EMA/counters become one jit-compiled, mesh-replicated
+``TrainState``; the epoch loop stays host-side and drives cadence (every-50-step
+validation, epoch-fraction sampling, save_interval checkpoints) around the
+compiled step without retriggering compilation.
+
+Lifecycle parity:
+  * result-dir layout + config snapshot + TensorBoard writer (`:43-56`)
+  * model/optimizer/scheduler init through subclass hooks (`:264-336`)
+  * EMA with warmup + interval (inside the jitted step)
+  * checkpoint load incl. optimizer/scheduler state on resume (`:111-138`)
+  * train loop with grad accumulation, interleaved validation and sampling,
+    latest+last+top-k checkpoint retention, emergency save on exception
+    (`:338-554` — the reference's exception save is gated on the *wrong* rank,
+    `:538`; here it runs on the main process)
+  * test(): EMA weights, sample_to_eval sweep or single-batch sample (`:556-595`)
+
+Data parallelism: batches are sharded over the mesh 'data' axis, state is
+replicated; each host loads its own shard of the dataset (the
+DistributedSampler equivalent).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import traceback
+from abc import ABC, abstractmethod
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from bbdm_tpu.checkpoints.io import load_checkpoint, save_checkpoint
+from bbdm_tpu.config import ConfigNode, save_config
+from bbdm_tpu.data import DataLoader, get_dataset
+from bbdm_tpu.parallel import make_mesh, replicate, shard_batch
+from bbdm_tpu.runners.utils import make_dir, make_save_dirs, remove_file
+from bbdm_tpu.training import TrainState, make_eval_step, make_train_step
+from bbdm_tpu.training.state import zeros_like_tree
+from bbdm_tpu.utils.tboard import SummaryWriter
+
+
+class BaseRunner(ABC):
+    def __init__(self, config):
+        self.config = config
+        self.is_main_process = jax.process_index() == 0
+        self.global_epoch = 0
+        self.global_step = -1 if config.args.sample_at_start else 0
+        self.topk_checkpoints = {}
+
+        # result dir layout (reference :43-51)
+        self.config.result = ConfigNode()
+        (
+            self.config.result.result_path,
+            self.config.result.image_path,
+            self.config.result.ckpt_path,
+            self.config.result.log_path,
+            self.config.result.sample_path,
+            self.config.result.sample_to_eval_path,
+        ) = make_save_dirs(
+            self.config.args,
+            prefix=self.config.data.dataset_name,
+            suffix=self.config.model.model_name,
+        )
+        self.logger("save training results to " + self.config.result.result_path)
+        self.save_config()
+        self.writer = SummaryWriter(self.config.result.log_path)
+
+        # mesh + model + state; training.mesh_devices caps the data-parallel
+        # width (default: all local devices)
+        n_mesh = config.training.get("mesh_devices", None)
+        devices = jax.devices()[:n_mesh] if n_mesh else None
+        self.mesh = make_mesh(devices)
+        self.rng = jax.random.PRNGKey(config.args.seed)
+        self.model = self.initialize_model(config)
+        self.rng, init_rng = jax.random.split(self.rng)
+        params = self.model.init_params(init_rng)
+        self.print_model_summary(params)
+
+        self.use_ema = (
+            config.model.EMA.use_ema if "EMA" in config.model else False
+        )
+
+        self.tx, self.lr_scheduler_config, init_lr = self.initialize_optimizer_scheduler(
+            params, config
+        )
+        from bbdm_tpu.training.plateau import plateau_init
+
+        from bbdm_tpu.training.ema import ema_init
+
+        accumulate = config.training.get("accumulate_grad_batches", 1)
+        self.state = TrainState(
+            step=jnp.asarray(self.global_step, jnp.int32),
+            params=params,
+            ema_params=ema_init(params) if self.use_ema else None,
+            opt_state=self.tx.init(params),
+            plateau=plateau_init(init_lr),
+            grad_accum=zeros_like_tree(params) if accumulate > 1 else None,
+            latent_stats=self.default_latent_stats(),
+        )
+
+        self.load_model_from_checkpoint()
+
+        # compiled steps
+        ema_cfg = config.model.EMA if "EMA" in config.model else None
+        self._train_step = jax.jit(
+            make_train_step(
+                self.model, self.tx, config.training,
+                ema_config=ema_cfg, lr_scheduler_config=self.lr_scheduler_config,
+            ),
+            donate_argnums=(0,),
+        )
+        self._eval_step = jax.jit(make_eval_step(self.model))
+
+    # ------------------------------------------------------------- helpers
+
+    def logger(self, msg, **kwargs):
+        if self.is_main_process:
+            print(msg, **kwargs)
+
+    def save_config(self):
+        if self.is_main_process:
+            save_config(self.config, os.path.join(self.config.result.ckpt_path, "config.yaml"))
+
+    def default_latent_stats(self):
+        return None
+
+    def next_rng(self):
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    def _put_batch(self, batch):
+        return (
+            shard_batch(self.mesh, batch["x"]),
+            shard_batch(self.mesh, batch["x_cond"]),
+        )
+
+    # -------------------------------------------------------- checkpointing
+
+    def get_checkpoint_states(self, stage="epoch_end"):
+        """Model + optimizer checkpoint dicts (reference :140-170)."""
+        state = self.state
+        model_states = {
+            "step": int(state.step),
+            "model": serialization.to_state_dict(jax.device_get(state.params)),
+            "epoch": self.global_epoch if stage == "exception" else self.global_epoch + 1,
+        }
+        if self.use_ema:
+            model_states["ema"] = serialization.to_state_dict(jax.device_get(state.ema_params))
+        optimizer_scheduler_states = {
+            "optimizer": [serialization.to_state_dict(jax.device_get(state.opt_state))],
+            "scheduler": [serialization.to_state_dict(jax.device_get(state.plateau))],
+        }
+        return model_states, optimizer_scheduler_states
+
+    def load_model_from_checkpoint(self):
+        """Restore params/EMA/counters (+ optimizer/scheduler when training)
+        from config.model.model_load_path (reference :111-138)."""
+        model_states = None
+        path = self.config.model.get("model_load_path")
+        if path:
+            self.logger(f"load model {self.config.model.model_name} from {path}")
+            model_states = load_checkpoint(path)
+            self.global_epoch = int(model_states["epoch"])
+            self.global_step = int(model_states["step"])
+            params = serialization.from_state_dict(self.state.params, model_states["model"])
+            ema = self.state.ema_params
+            if self.use_ema and "ema" in model_states:
+                ema = serialization.from_state_dict(self.state.ema_params, model_states["ema"])
+            self.state = self.state.replace(
+                step=jnp.asarray(self.global_step, jnp.int32), params=params, ema_params=ema
+            )
+            if self.config.args.train:
+                opt_path = self.config.model.get("optim_sche_load_path")
+                if opt_path:
+                    osd = load_checkpoint(opt_path)
+                    opt_state = serialization.from_state_dict(
+                        self.state.opt_state, osd["optimizer"][0]
+                    )
+                    plateau = serialization.from_state_dict(
+                        self.state.plateau, osd["scheduler"][0]
+                    )
+                    self.state = self.state.replace(opt_state=opt_state, plateau=plateau)
+        return model_states
+
+    def _save_ckpt_pair(self, model_name, optim_name):
+        model_states, optim_states = self.get_checkpoint_states()
+        ckpt_path = self.config.result.ckpt_path
+        save_checkpoint(model_states, os.path.join(ckpt_path, model_name))
+        save_checkpoint(optim_states, os.path.join(ckpt_path, optim_name))
+        return model_states, optim_states
+
+    # -------------------------------------------------------------- hooks
+
+    @abstractmethod
+    def print_model_summary(self, params):
+        ...
+
+    @abstractmethod
+    def initialize_model(self, config):
+        """Return the model object (provides init_params/loss/sample)."""
+        ...
+
+    @abstractmethod
+    def initialize_optimizer_scheduler(self, params, config):
+        """Return (optax transform, lr_scheduler config node, initial lr)."""
+        ...
+
+    @abstractmethod
+    def sample(self, batch, sample_path, stage="train"):
+        """Sample a single batch to PNG grids."""
+        ...
+
+    @abstractmethod
+    def sample_to_eval(self, test_loader, sample_path):
+        """Sweep the test set for offline metric evaluation."""
+        ...
+
+    def on_save_checkpoint(self, train_loader, val_loader, epoch, step):
+        pass
+
+    # ----------------------------------------------------------- val/sample
+
+    def validation_step(self, val_batch, epoch, step):
+        x, y = self._put_batch(val_batch)
+        loss = self._eval_step(self.state, x, y, self.next_rng())
+        if self.is_main_process:
+            self.writer.add_scalar("loss/val_step", float(loss), step)
+        return float(loss)
+
+    def validation_epoch(self, val_loader, epoch):
+        loss_sum, count = 0.0, 0
+        for val_batch in val_loader:
+            x, y = self._put_batch(val_batch)
+            loss_sum += float(self._eval_step(self.state, x, y, self.next_rng()))
+            count += 1
+        average_loss = loss_sum / max(count, 1)
+        if self.is_main_process:
+            self.writer.add_scalar("val_epoch/loss", average_loss, epoch)
+        return average_loss
+
+    def sample_step(self, train_batch, val_batch):
+        """Mid-training sample grids with EMA weights (reference :251-262)."""
+        sample_path = make_dir(
+            os.path.join(self.config.result.image_path, str(self.global_step))
+        )
+        self.sample(train_batch, sample_path, stage="train")
+        self.sample(val_batch, sample_path, stage="val")
+
+    # --------------------------------------------------------------- train
+
+    def _build_loaders(self):
+        train_ds, val_ds, test_ds = get_dataset(self.config.data)
+        shard_kw = dict(
+            shard_count=jax.process_count(),
+            shard_index=jax.process_index(),
+            seed=self.config.args.seed,
+        )
+        train_loader = DataLoader(
+            train_ds, self.config.data.train.batch_size,
+            shuffle=self.config.data.train.get("shuffle", True), drop_last=True, **shard_kw,
+        )
+        val_loader = DataLoader(
+            val_ds, self.config.data.val.batch_size,
+            shuffle=self.config.data.val.get("shuffle", True), drop_last=True, **shard_kw,
+        )
+        test_loader = DataLoader(
+            test_ds, self.config.data.test.batch_size,
+            shuffle=False, drop_last=True, **shard_kw,
+        )
+        return train_loader, val_loader, test_loader
+
+    def train(self):
+        self.logger(self.__class__.__name__)
+        train_loader, val_loader, test_loader = self._build_loaders()
+        epoch_length = len(train_loader)
+        start_epoch = self.global_epoch
+        self.logger(
+            f"start training {self.config.model.model_name} on "
+            f"{self.config.data.dataset_name}, {epoch_length} iters per epoch"
+        )
+        self.state = replicate(self.mesh, self.state)
+
+        training = self.config.training
+        sample_every = max(int(training.sample_interval * epoch_length), 1)
+        val_iter = None
+
+        def next_val_batch():
+            nonlocal val_iter
+            if val_iter is None:
+                val_iter = iter(val_loader)
+            try:
+                return next(val_iter)
+            except StopIteration:
+                val_iter = iter(val_loader)
+                return next(val_iter)
+
+        average_loss = float("nan")
+        try:
+            for epoch in range(start_epoch, training.n_epochs):
+                if self.global_step > training.n_steps:
+                    break
+                train_loader.set_epoch(epoch)
+                val_loader.set_epoch(epoch)
+                self.global_epoch = epoch
+                start_time = time.time()
+
+                for train_batch in train_loader:
+                    x, y = self._put_batch(train_batch)
+                    self.state, metrics = self._train_step(self.state, x, y, self.next_rng())
+                    self.global_step += 1
+
+                    if self.is_main_process:
+                        self.writer.add_scalar("loss/train", float(metrics["loss"]), self.global_step)
+
+                    if self.global_step % 50 == 0:
+                        self.validation_step(next_val_batch(), epoch, self.global_step)
+
+                    if self.global_step % sample_every == 0 and self.is_main_process:
+                        self.sample_step(train_batch=train_batch, val_batch=next_val_batch())
+
+                elapsed = int(round(time.time() - start_time))
+                self.logger(f"training time: {elapsed}s (epoch {epoch + 1})")
+
+                # epoch validation (reference :459-466)
+                if (epoch + 1) % training.validation_interval == 0 or (
+                    epoch + 1
+                ) == training.n_epochs:
+                    self.logger("validating epoch...")
+                    average_loss = self.validation_epoch(val_loader, epoch)
+                    self.logger(f"validating epoch success (avg loss {average_loss:.6f})")
+
+                # checkpoints (reference :468-534)
+                if (
+                    (epoch + 1) % training.save_interval == 0
+                    or (epoch + 1) == training.n_epochs
+                    or self.global_step > training.n_steps
+                ) and self.is_main_process:
+                    self.logger("saving latest checkpoint...")
+                    self.on_save_checkpoint(train_loader, val_loader, epoch, self.global_step)
+                    ckpt_path = self.config.result.ckpt_path
+                    for temp in range(epoch + 1):
+                        remove_file(os.path.join(ckpt_path, f"latest_model_{temp}.ckpt"))
+                        remove_file(os.path.join(ckpt_path, f"latest_optim_sche_{temp}.ckpt"))
+                    model_states, optim_states = self._save_ckpt_pair(
+                        f"latest_model_{epoch + 1}.ckpt", f"latest_optim_sche_{epoch + 1}.ckpt"
+                    )
+                    save_checkpoint(model_states, os.path.join(ckpt_path, "last_model.ckpt"))
+                    save_checkpoint(optim_states, os.path.join(ckpt_path, "last_optim_sche.ckpt"))
+
+                    if self.config.args.save_top:
+                        self._save_top_checkpoint(average_loss, epoch, model_states, optim_states)
+        except BaseException as e:
+            if self.is_main_process:  # reference bug `:538` gates on the wrong rank
+                self.logger("exception save model start....")
+                model_states, optim_states = self.get_checkpoint_states(stage="exception")
+                ckpt_path = self.config.result.ckpt_path
+                save_checkpoint(model_states, os.path.join(ckpt_path, "last_model.ckpt"))
+                save_checkpoint(optim_states, os.path.join(ckpt_path, "last_optim_sche.ckpt"))
+                self.logger("exception save model success!")
+            print("str(e):", str(e))
+            traceback.print_exc()
+            if isinstance(e, KeyboardInterrupt):
+                raise
+
+    def _save_top_checkpoint(self, average_loss, epoch, model_states, optim_states):
+        """Single-slot best-val-loss checkpoint (reference :498-534)."""
+        ckpt_path = self.config.result.ckpt_path
+        model_name = f"top_model_epoch_{epoch + 1}.ckpt"
+        optim_name = f"top_optim_sche_epoch_{epoch + 1}.ckpt"
+        top = self.topk_checkpoints.get("top")
+        if top is not None and not (average_loss < top["loss"]):
+            return
+        if top is not None:
+            remove_file(os.path.join(ckpt_path, top["model_ckpt_name"]))
+            remove_file(os.path.join(ckpt_path, top["optim_sche_ckpt_name"]))
+        self.logger(f"saving top checkpoint: average_loss={average_loss} epoch={epoch + 1}")
+        self.topk_checkpoints["top"] = {
+            "loss": average_loss,
+            "model_ckpt_name": model_name,
+            "optim_sche_ckpt_name": optim_name,
+        }
+        save_checkpoint(model_states, os.path.join(ckpt_path, model_name))
+        save_checkpoint(optim_states, os.path.join(ckpt_path, optim_name))
+
+    # ---------------------------------------------------------------- test
+
+    def test(self):
+        """reference :556-595."""
+        _, val_loader, test_loader = self._build_loaders()
+        if len(test_loader) == 0:
+            test_loader = val_loader
+        self.state = replicate(self.mesh, self.state)
+        if self.config.args.sample_to_eval:
+            self.sample_to_eval(test_loader, self.config.result.sample_to_eval_path)
+        else:
+            for i, test_batch in enumerate(test_loader):
+                sample_path = os.path.join(self.config.result.sample_path, str(i))
+                self.sample(test_batch, sample_path, stage="test")
+                break

@@ -1,0 +1,236 @@
+"""BBDMRunner: Brownian-bridge-specific runner
+(reference `runners/DiffusionBasedModelRunners/BBDMRunner.py:16-253`).
+
+Covers: model construction, optimizer (Adam + ReduceLROnPlateau over UNet
+[+ cond stage], VQGAN frozen), parameter-count summary, dataset-wide latent
+mean/std pass for ``normalize_latent``, latent stats in checkpoints, 4-grid
+mid-training sampling, and the full test-set ``sample_to_eval`` sweep with its
+directory contract (condition/, ground_truth/, <sample_step>/[name/output_j.png]).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bbdm_tpu.checkpoints.io import load_checkpoint
+from bbdm_tpu.models import build_model
+from bbdm_tpu.models.latent import LatentBrownianBridgeModel, init_latent_stats
+from bbdm_tpu.registry import Registers
+from bbdm_tpu.runners.base import BaseRunner
+from bbdm_tpu.runners.utils import make_dir
+from bbdm_tpu.training.optim import build_optimizer
+from bbdm_tpu.utils.images import get_image_grid, save_single_image
+from flax import serialization
+
+
+@Registers.runners.register_with_name("BBDMRunner")
+class BBDMRunner(BaseRunner):
+    def initialize_model(self, config):
+        return build_model(config.model)
+
+    @property
+    def is_latent(self):
+        return isinstance(self.model, LatentBrownianBridgeModel)
+
+    def default_latent_stats(self):
+        # populated lazily; identity stats unless normalize_latent computes them
+        return None
+
+    def print_model_summary(self, params):
+        def count(tree):
+            return sum(x.size for x in jax.tree_util.tree_leaves(tree))
+
+        total = count(params)
+        mask = self.model.trainable_mask(params)
+        trainable = sum(
+            leaf.size
+            for leaf, m in zip(
+                jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(mask)
+            )
+            if m
+        )
+        self.logger("Total Number of parameter: %.2fM" % (total / 1e6))
+        self.logger("Trainable Number of parameter: %.2fM" % (trainable / 1e6))
+
+    def initialize_optimizer_scheduler(self, params, config):
+        optim_cfg = config.model.BB.optimizer
+        mask = self.model.trainable_mask(params)
+        tx = build_optimizer(optim_cfg, trainable_mask=mask)
+        return tx, config.model.BB.lr_scheduler, optim_cfg.lr
+
+    # -------------------------------------------------------- latent stats
+
+    def load_model_from_checkpoint(self):
+        """Adds latent-stat handling (reference BBDMRunner.py:31-47)."""
+        states = None
+        if self.config.model.get("only_load_latent_mean_std", False):
+            path = self.config.model.get("model_load_path")
+            if path:
+                states = load_checkpoint(path)
+        else:
+            states = super().load_model_from_checkpoint()
+
+        if self.is_latent and self.config.model.get("normalize_latent", False):
+            if states is not None and "ori_latent_mean" in states:
+                stats = {
+                    k: jnp.asarray(states[k])
+                    for k in (
+                        "ori_latent_mean", "ori_latent_std",
+                        "cond_latent_mean", "cond_latent_std",
+                    )
+                }
+                self.state = self.state.replace(latent_stats=stats)
+            elif self.config.args.train:
+                self.get_latent_mean_std()
+        return states
+
+    def get_checkpoint_states(self, stage="epoch_end"):
+        model_states, optim_states = super().get_checkpoint_states(stage)
+        if self.is_latent and self.config.model.get("normalize_latent", False):
+            stats = self.state.latent_stats or init_latent_stats(self.model.channels)
+            for k in ("ori_latent_mean", "ori_latent_std",
+                      "cond_latent_mean", "cond_latent_std"):
+                model_states[k] = np.asarray(stats[k])
+        return model_states, optim_states
+
+    def get_latent_mean_std(self):
+        """Two-pass dataset-wide latent mean/std (reference BBDMRunner.py:85-162)."""
+        from bbdm_tpu.data import DataLoader, get_dataset
+
+        train_ds, _, _ = get_dataset(self.config.data)
+        loader = DataLoader(
+            train_ds, self.config.data.train.batch_size,
+            shuffle=True, drop_last=True, seed=self.config.args.seed,
+            shard_count=jax.process_count(), shard_index=jax.process_index(),
+        )
+
+        @jax.jit
+        def encode_pair(params, x, y):
+            xl = self.model.encode(params, x, cond=False, normalize=False)
+            yl = self.model.encode(params, y, cond=True, normalize=False)
+            return xl, yl
+
+        @jax.jit
+        def batch_means(params, x, y):
+            xl, yl = encode_pair(params, x, y)
+            return xl.mean(axis=(0, 1, 2), keepdims=True), yl.mean(axis=(0, 1, 2), keepdims=True)
+
+        @jax.jit
+        def batch_vars(params, x, y, ori_mean, cond_mean):
+            xl, yl = encode_pair(params, x, y)
+            return (
+                ((xl - ori_mean) ** 2).mean(axis=(0, 1, 2), keepdims=True),
+                ((yl - cond_mean) ** 2).mean(axis=(0, 1, 2), keepdims=True),
+            )
+
+        self.logger("start calculating latent mean")
+        tot_om, tot_cm, n = 0.0, 0.0, 0
+        for batch in loader:
+            om, cm = batch_means(self.state.params, batch["x"], batch["x_cond"])
+            tot_om, tot_cm, n = tot_om + om, tot_cm + cm, n + 1
+        ori_mean, cond_mean = tot_om / n, tot_cm / n
+
+        self.logger("start calculating latent std")
+        tot_ov, tot_cv, n = 0.0, 0.0, 0
+        for batch in loader:
+            ov, cv = batch_vars(self.state.params, batch["x"], batch["x_cond"], ori_mean, cond_mean)
+            tot_ov, tot_cv, n = tot_ov + ov, tot_cv + cv, n + 1
+        stats = {
+            "ori_latent_mean": ori_mean,
+            "ori_latent_std": jnp.sqrt(tot_ov / n),
+            "cond_latent_mean": cond_mean,
+            "cond_latent_std": jnp.sqrt(tot_cv / n),
+        }
+        self.state = self.state.replace(latent_stats=stats)
+        for k, v in stats.items():
+            self.logger(f"{k}: {np.asarray(v).ravel()}")
+
+    # ------------------------------------------------------------ sampling
+
+    @functools.cached_property
+    def _sample_fn(self):
+        clip = self.config.testing.get("clip_denoised", False)
+
+        if self.is_latent:
+            def fn(params, rng, x_cond, stats):
+                return self.model.sample(
+                    params, rng, x_cond, clip_denoised=clip, latent_stats=stats
+                )
+        else:
+            def fn(params, rng, x_cond, stats):
+                return self.model.sample(params, rng, x_cond, clip_denoised=clip)
+
+        return jax.jit(fn)
+
+    def _ema_sample_params(self):
+        """Sampling uses EMA weights (reference sample_step applies the shadow)."""
+        return self.state.ema_params if self.use_ema else self.state.params
+
+    def sample(self, batch, sample_path, stage="train"):
+        """4-image grids: skip_sample / condition / ground_truth
+        (reference BBDMRunner.py:178-222)."""
+        sample_path = make_dir(os.path.join(sample_path, f"{stage}_sample"))
+        to_normal = self.config.data.dataset_config.to_normal
+        grid_size = 4
+
+        x = np.asarray(batch["x"])[:4]
+        x_cond = np.asarray(batch["x_cond"])[:4]
+        sample = np.asarray(
+            self._sample_fn(
+                self._ema_sample_params(), self.next_rng(),
+                jnp.asarray(x_cond), self.state.latent_stats,
+            )
+        )
+
+        for name, img in (("skip_sample", sample), ("condition", x_cond), ("ground_truth", x)):
+            grid = get_image_grid(img, grid_size, to_normal=to_normal)
+            from PIL import Image
+
+            Image.fromarray(grid).save(os.path.join(sample_path, f"{name}.png"))
+            if stage != "test" and self.is_main_process:
+                tag = {"skip_sample": f"{stage}_skip_sample",
+                       "condition": f"{stage}_condition",
+                       "ground_truth": f"{stage}_ground_truth"}[name]
+                self.writer.add_image(tag, grid, self.global_step, dataformats="HWC")
+
+    def sample_to_eval(self, test_loader, sample_path):
+        """Test-set sweep with the exact output contract of
+        reference BBDMRunner.py:224-253."""
+        condition_path = make_dir(os.path.join(sample_path, "condition"))
+        gt_path = make_dir(os.path.join(sample_path, "ground_truth"))
+        result_path = make_dir(
+            os.path.join(sample_path, str(self.config.model.BB.params.sample_step))
+        )
+        to_normal = self.config.data.dataset_config.to_normal
+        sample_num = self.config.testing.sample_num
+        params = self._ema_sample_params()
+
+        for test_batch in test_loader:
+            x = np.asarray(test_batch["x"])
+            x_cond = jnp.asarray(test_batch["x_cond"])
+            x_names = test_batch["x_name"]
+            cond_names = test_batch["x_cond_name"]
+            batch_size = x.shape[0]
+            for j in range(sample_num):
+                sample = np.asarray(
+                    self._sample_fn(params, self.next_rng(), x_cond, self.state.latent_stats)
+                )
+                for i in range(batch_size):
+                    if j == 0:
+                        save_single_image(
+                            np.asarray(x_cond)[i], condition_path,
+                            f"{cond_names[i]}.png", to_normal=to_normal,
+                        )
+                        save_single_image(x[i], gt_path, f"{x_names[i]}.png", to_normal=to_normal)
+                    if sample_num > 1:
+                        result_path_i = make_dir(os.path.join(result_path, x_names[i]))
+                        save_single_image(sample[i], result_path_i,
+                                          f"output_{j}.png", to_normal=to_normal)
+                    else:
+                        save_single_image(sample[i], result_path,
+                                          f"{x_names[i]}.png", to_normal=to_normal)

@@ -1,0 +1,74 @@
+"""bbdm_tpu CLI — flag-compatible with the reference's `main.py:14-54`.
+
+    python main.py -c configs/Template-LBBDM-f4.yaml --train
+    python main.py -c configs/Template-LBBDM-f4.yaml --sample_to_eval \
+        --resume_model path/to/last_model.ckpt
+
+Deviations (TPU-native):
+  * --gpu_ids: JAX discovers all local TPU chips automatically and trains
+    data-parallel over a device mesh; `--gpu_ids -1` forces the CPU backend,
+    any other value is accepted for script compatibility and ignored.
+  * --port: accepted, unused (no NCCL rendezvous; multi-host initialization is
+    `jax.distributed.initialize()` driven by the TPU runtime environment).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("-c", "--config", type=str, default="BB_base.yml",
+                        help="Path to the config file")
+    parser.add_argument("-s", "--seed", type=int, default=1234, help="Random seed")
+    parser.add_argument("-r", "--result_path", type=str, default="results",
+                        help="The directory to save results")
+
+    parser.add_argument("-t", "--train", action="store_true", default=False,
+                        help="train the model")
+    parser.add_argument("--sample_to_eval", action="store_true", default=False,
+                        help="sample for evaluation")
+    parser.add_argument("--sample_at_start", action="store_true", default=False,
+                        help="sample at start(for debug)")
+    parser.add_argument("--save_top", action="store_true", default=False,
+                        help="save top loss checkpoint")
+
+    parser.add_argument("--gpu_ids", type=str, default="0",
+                        help="compat flag: -1 forces CPU; otherwise all local TPU chips are used")
+    parser.add_argument("--port", type=str, default="12355", help="compat flag (unused)")
+
+    parser.add_argument("--resume_model", type=str, default=None, help="model checkpoint")
+    parser.add_argument("--resume_optim", type=str, default=None, help="optimizer checkpoint")
+
+    parser.add_argument("--max_epoch", type=int, default=None, help="cap training.n_epochs")
+    parser.add_argument("--max_steps", type=int, default=None, help="cap training.n_steps")
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    if args.gpu_ids == "-1":  # CPU path (reference main.py:112-115)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from bbdm_tpu.config import apply_cli_overrides, load_config
+    from bbdm_tpu.registry import get_runner
+
+    config = load_config(args.config)
+    config = apply_cli_overrides(config, args)
+
+    import jax
+
+    # seed note: jax PRNG is explicit — the seed threads through the runner
+    runner = get_runner(config.runner, config)
+    if args.train:
+        runner.train()
+    else:
+        runner.test()
+
+
+if __name__ == "__main__":
+    main()

@@ -9,7 +9,12 @@ guarantees that under pytest.
 import os
 
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+    # 8 fake devices share 1 real core here: replicas reach a collective
+    # rendezvous serially, so stretch the abort timeout way out.
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+    + " --xla_cpu_collective_timeout_seconds=600"
 )
 
 import jax  # noqa: E402

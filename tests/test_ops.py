@@ -1,0 +1,123 @@
+"""Op-level golden tests: Pallas flash attention vs XLA reference, GroupNorm
+and resize vs torch (torch CPU is available — SURVEY.md §4 golden-value plan)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bbdm_tpu.ops.attention import _xla_attention, multi_head_attention
+from bbdm_tpu.ops.flash_attention import flash_attention
+from bbdm_tpu.ops.group_norm import group_norm
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("shape", [(2, 1, 512, 128), (1, 4, 1024, 128), (1, 1, 256, 256)])
+    def test_matches_xla(self, shape):
+        B, H, T, D = shape
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(ks[0], shape, jnp.float32)
+        k = jax.random.normal(ks[1], shape, jnp.float32)
+        v = jax.random.normal(ks[2], shape, jnp.float32)
+        ref = _xla_attention(q, k, v)
+        out = flash_attention(q, k, v, 128, 128)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+    def test_grad_matches_xla(self):
+        shape = (1, 2, 256, 128)
+        ks = jax.random.split(jax.random.PRNGKey(1), 3)
+        q, k, v = (jax.random.normal(ks[i], shape, jnp.float32) for i in range(3))
+        gf = jax.grad(lambda q: flash_attention(q, k, v, 128, 128).sum())(q)
+        gr = jax.grad(lambda q: _xla_attention(q, k, v).sum())(q)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=1e-3, atol=1e-4)
+
+    def test_dispatch_uses_xla_for_short_seqs(self):
+        shape = (1, 2, 64, 32)
+        ks = jax.random.split(jax.random.PRNGKey(2), 3)
+        q, k, v = (jax.random.normal(ks[i], shape, jnp.float32) for i in range(3))
+        out = multi_head_attention(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(_xla_attention(q, k, v)), rtol=1e-5, atol=1e-6)
+
+
+class TestGroupNormGolden:
+    def test_matches_torch(self):
+        import torch
+
+        x = np.random.RandomState(0).randn(2, 6, 6, 32).astype(np.float32)
+        scale = np.random.RandomState(1).randn(32).astype(np.float32)
+        bias = np.random.RandomState(2).randn(32).astype(np.float32)
+
+        ours = group_norm(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias),
+                          num_groups=8, eps=1e-5)
+
+        tx = torch.from_numpy(x).permute(0, 3, 1, 2)  # NCHW
+        gn = torch.nn.GroupNorm(8, 32, eps=1e-5)
+        with torch.no_grad():
+            gn.weight.copy_(torch.from_numpy(scale))
+            gn.bias.copy_(torch.from_numpy(bias))
+            ref = gn(tx).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
+
+    def test_film_and_silu_fusion(self):
+        x = jnp.asarray(np.random.RandomState(3).randn(2, 4, 4, 8).astype(np.float32))
+        scale = jnp.ones(8)
+        bias = jnp.zeros(8)
+        fs = jnp.asarray(np.random.RandomState(4).randn(2, 8).astype(np.float32))
+        fb = jnp.asarray(np.random.RandomState(5).randn(2, 8).astype(np.float32))
+        fused = group_norm(x, scale, bias, num_groups=4, act="silu",
+                           film_scale=fs, film_shift=fb)
+        base = group_norm(x, scale, bias, num_groups=4)
+        manual = base * (1 + fs[:, None, None, :]) + fb[:, None, None, :]
+        manual = manual * jax.nn.sigmoid(manual)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(manual), rtol=1e-5, atol=1e-6)
+
+    def test_bf16_input_fp32_stats(self):
+        x = jnp.asarray(np.random.RandomState(6).randn(1, 4, 4, 32), jnp.bfloat16)
+        out = group_norm(x, jnp.ones(32), jnp.zeros(32))
+        assert out.dtype == jnp.bfloat16
+
+
+class TestResizeGolden:
+    def test_bilinear_downscale_matches_torch(self):
+        """SpatialRescaler's 0.5x bilinear must match torch F.interpolate."""
+        import torch
+
+        x = np.random.RandomState(0).rand(1, 8, 8, 3).astype(np.float32)
+        ours = jax.image.resize(jnp.asarray(x), (1, 4, 4, 3), "bilinear", antialias=False)
+        tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+        ref = torch.nn.functional.interpolate(tx, scale_factor=0.5, mode="bilinear")
+        ref = ref.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
+
+    def test_nearest_upsample_matches_torch(self):
+        import torch
+
+        from bbdm_tpu.models.layers import upsample_nearest_2x
+
+        x = np.random.RandomState(1).rand(1, 4, 4, 3).astype(np.float32)
+        ours = upsample_nearest_2x(jnp.asarray(x))
+        tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+        ref = torch.nn.functional.interpolate(tx, scale_factor=2, mode="nearest")
+        ref = ref.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-6, atol=1e-7)
+
+    def test_conv_matches_torch(self):
+        """NHWC lax conv with HWIO weights == torch NCHW Conv2d (OIHW)."""
+        import torch
+
+        rs = np.random.RandomState(2)
+        x = rs.randn(2, 8, 8, 4).astype(np.float32)
+        w = rs.randn(5, 4, 3, 3).astype(np.float32)  # OIHW
+        b = rs.randn(5).astype(np.float32)
+
+        ours = jax.lax.conv_general_dilated(
+            jnp.asarray(x), jnp.asarray(w.transpose(2, 3, 1, 0)),
+            window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+        tref = torch.nn.functional.conv2d(
+            torch.from_numpy(x).permute(0, 3, 1, 2), torch.from_numpy(w),
+            torch.from_numpy(b), padding=1,
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(np.asarray(ours), tref, rtol=1e-4, atol=1e-4)

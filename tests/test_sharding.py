@@ -1,0 +1,81 @@
+"""Data-parallel correctness on a virtual 8-device CPU mesh (SURVEY.md §4):
+one sharded train step must produce the same updated params as a single-device
+step on the same global batch (the psum gradient path).
+
+Runs in a subprocess: XLA CPU collectives can abort the process on rendezvous
+timeouts when 8 fake devices share one core, and that must not kill pytest.
+"""
+
+import subprocess
+import sys
+
+_SCRIPT = r"""
+import os
+os.environ["XLA_FLAGS"] = (
+    " --xla_force_host_platform_device_count=8"
+    " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+    " --xla_cpu_collective_timeout_seconds=600"
+)
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from tests.conftest import tiny_bbdm_config
+from bbdm_tpu.models import build_model
+from bbdm_tpu.training import TrainState, make_train_step, plateau_init
+from bbdm_tpu.training.optim import build_optimizer
+from bbdm_tpu.parallel import make_mesh, replicate, shard_batch
+from bbdm_tpu.config import dict2namespace
+
+cfg = tiny_bbdm_config()
+cfg.training = dict2namespace({"accumulate_grad_batches": 1})
+model = build_model(cfg)
+params = model.init_params(jax.random.PRNGKey(0))
+tx = build_optimizer(cfg.BB.optimizer, trainable_mask=model.trainable_mask(params))
+step_fn = make_train_step(model, tx, cfg.training, ema_config=None,
+                          lr_scheduler_config=cfg.BB.lr_scheduler)
+
+def fresh_state():
+    return TrainState(
+        step=jnp.asarray(0, jnp.int32), params=params, ema_params=None,
+        opt_state=tx.init(params), plateau=plateau_init(cfg.BB.optimizer.lr),
+    )
+
+kx, ky = jax.random.split(jax.random.PRNGKey(7))
+x = jax.random.normal(kx, (8, 8, 8, 3))
+y = jax.random.normal(ky, (8, 8, 8, 3))
+rng = jax.random.PRNGKey(3)
+
+grad_fn = jax.jit(jax.grad(lambda p, r, x, y: model.loss(p, r, x, y)[0]))
+
+# single device
+mesh1 = make_mesh(jax.devices()[:1])
+g1 = grad_fn(replicate(mesh1, params), rng, shard_batch(mesh1, x), shard_batch(mesh1, y))
+s1 = replicate(mesh1, fresh_state())
+s1, m1 = jax.jit(step_fn)(s1, shard_batch(mesh1, x), shard_batch(mesh1, y), rng)
+
+# 8-device data parallel: the psum'd gradient must equal the single-device one
+mesh8 = make_mesh(jax.devices())
+g8 = grad_fn(replicate(mesh8, params), rng, shard_batch(mesh8, x), shard_batch(mesh8, y))
+s8 = replicate(mesh8, fresh_state())
+s8, m8 = jax.jit(step_fn)(s8, shard_batch(mesh8, x), shard_batch(mesh8, y), rng)
+
+# reduction order across shards differs -> small float drift is expected
+np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-4, atol=1e-6)
+for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g8)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-5)
+
+# the sharded step actually trains (params move)
+changed = sum(float(jnp.abs(a - b).sum()) for a, b in zip(
+    jax.tree_util.tree_leaves(s8.params), jax.tree_util.tree_leaves(params)))
+assert changed > 0
+print("SHARDING-OK")
+"""
+
+
+def test_data_parallel_grad_equality():
+    res = subprocess.run(
+        [sys.executable, "-c", _SCRIPT],
+        capture_output=True, text=True, timeout=900, cwd="/root/repo",
+    )
+    assert "SHARDING-OK" in res.stdout, f"stdout:\n{res.stdout}\nstderr:\n{res.stderr[-3000:]}"

@@ -1,0 +1,197 @@
+"""Training-engine unit tests: plateau scheduler, EMA, step semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from bbdm_tpu.training.ema import ema_update
+from bbdm_tpu.training.optim import build_optimizer
+from bbdm_tpu.training.plateau import plateau_init, plateau_step
+from bbdm_tpu.config import dict2namespace
+
+
+def _plateau_kwargs(**over):
+    kw = dict(factor=0.5, patience=2, threshold=1e-4, cooldown=3, min_lr=1e-6)
+    kw.update(over)
+    return kw
+
+
+class TestPlateau:
+    def test_improvement_resets_bad_count(self):
+        s = plateau_init(1e-3)
+        s = plateau_step(s, jnp.asarray(1.0), **_plateau_kwargs())
+        assert float(s.best) == 1.0
+        s = plateau_step(s, jnp.asarray(2.0), **_plateau_kwargs())
+        assert int(s.num_bad) == 1
+        s = plateau_step(s, jnp.asarray(0.5), **_plateau_kwargs())
+        assert int(s.num_bad) == 0 and float(s.best) == 0.5
+        assert float(s.lr) == pytest.approx(1e-3)
+
+    def test_reduces_after_patience(self):
+        s = plateau_init(1e-3)
+        s = plateau_step(s, jnp.asarray(1.0), **_plateau_kwargs())
+        for _ in range(3):  # num_bad must EXCEED patience=2 (torch semantics)
+            s = plateau_step(s, jnp.asarray(1.0), **_plateau_kwargs())
+        assert float(s.lr) == pytest.approx(5e-4)
+        assert int(s.cooldown_count) == 3
+
+    def test_cooldown_suppresses_bad_count(self):
+        s = plateau_init(1e-3)
+        s = plateau_step(s, jnp.asarray(1.0), **_plateau_kwargs())
+        for _ in range(3):
+            s = plateau_step(s, jnp.asarray(1.0), **_plateau_kwargs())
+        lr_after = float(s.lr)
+        # during cooldown (3 steps) no further reduction even with bad metrics
+        for _ in range(3):
+            s = plateau_step(s, jnp.asarray(1.0), **_plateau_kwargs())
+        assert float(s.lr) == lr_after
+
+    def test_min_lr_floor(self):
+        s = plateau_init(1e-6)
+        s = plateau_step(s, jnp.asarray(1.0), **_plateau_kwargs(patience=0, cooldown=0))
+        for _ in range(10):
+            s = plateau_step(s, jnp.asarray(1.0), **_plateau_kwargs(patience=0, cooldown=0))
+        assert float(s.lr) >= 1e-6 - 1e-12
+
+    def test_rel_threshold(self):
+        s = plateau_init(1e-3)
+        s = plateau_step(s, jnp.asarray(1.0), **_plateau_kwargs(threshold=0.1))
+        # 0.95 is NOT better than 1.0*(1-0.1)=0.9
+        s = plateau_step(s, jnp.asarray(0.95), **_plateau_kwargs(threshold=0.1))
+        assert int(s.num_bad) == 1
+        s = plateau_step(s, jnp.asarray(0.89), **_plateau_kwargs(threshold=0.1))
+        assert int(s.num_bad) == 0
+
+
+class TestEMA:
+    def test_warmup_copies(self):
+        p = {"w": jnp.ones(3)}
+        e = {"w": jnp.zeros(3)}
+        out = ema_update(e, p, 0.9, with_decay=jnp.asarray(False))
+        np.testing.assert_allclose(np.asarray(out["w"]), 1.0)
+
+    def test_decay_average(self):
+        p = {"w": jnp.ones(3)}
+        e = {"w": jnp.zeros(3)}
+        out = ema_update(e, p, 0.9, with_decay=jnp.asarray(True))
+        # shadow = 0.1 * p + 0.9 * shadow  (reference EMA.py:25)
+        np.testing.assert_allclose(np.asarray(out["w"]), 0.1, rtol=1e-6)
+
+    def test_mask_skips_frozen(self):
+        p = {"a": jnp.ones(2), "b": jnp.ones(2) * 5}
+        e = {"a": jnp.zeros(2), "b": jnp.zeros(2)}
+        mask = {"a": True, "b": False}
+        out = ema_update(e, p, 0.5, with_decay=jnp.asarray(True), mask=mask)
+        np.testing.assert_allclose(np.asarray(out["a"]), 0.5)
+        np.testing.assert_allclose(np.asarray(out["b"]), 5.0)  # frozen: live value
+
+
+class TestOptim:
+    def test_adam_masked_skips_frozen_state(self):
+        cfg = dict2namespace(
+            {"optimizer": "Adam", "lr": 1e-3, "weight_decay": 0.0, "beta1": 0.9})
+        params = {"trainable": jnp.ones(4), "frozen": jnp.ones(4)}
+        mask = {"trainable": True, "frozen": False}
+        tx = build_optimizer(cfg, trainable_mask=mask)
+        state = tx.init(params)
+        grads = {"trainable": jnp.ones(4), "frozen": jnp.ones(4)}
+        updates, _ = tx.update(grads, state, params)
+        assert float(jnp.abs(updates["trainable"]).sum()) > 0
+        # masked transform passes frozen grads through untouched; the train
+        # step multiplies by -lr, and frozen leaves get zero grads in practice
+        np.testing.assert_allclose(np.asarray(updates["frozen"]), 1.0)
+
+    def test_unknown_optimizer_raises(self):
+        cfg = dict2namespace({"optimizer": "Adagrad", "lr": 1e-3, "weight_decay": 0.0})
+        try:
+            build_optimizer(cfg)
+            assert False, "should raise"
+        except NotImplementedError:
+            pass
+
+    def test_rmsprop_and_sgd_build(self):
+        for name in ("RMSProp", "SGD"):
+            cfg = dict2namespace({"optimizer": name, "lr": 1e-3, "weight_decay": 0.0})
+            tx = build_optimizer(cfg)
+            p = {"w": jnp.ones(2)}
+            u, _ = tx.update({"w": jnp.ones(2)}, tx.init(p), p)
+            assert np.isfinite(np.asarray(u["w"])).all()
+
+
+class TestTrainStep:
+    def _setup(self, accumulate=1, use_ema=True, start_ema_step=0):
+        from bbdm_tpu.models import build_model
+        from bbdm_tpu.training import TrainState, make_train_step, plateau_init
+        from bbdm_tpu.training.state import zeros_like_tree
+        from tests.conftest import tiny_bbdm_config
+
+        cfg = tiny_bbdm_config()
+        cfg.training = dict2namespace({"accumulate_grad_batches": accumulate})
+        model = build_model(cfg)
+        params = model.init_params(jax.random.PRNGKey(0))
+        tx = build_optimizer(cfg.BB.optimizer, trainable_mask=model.trainable_mask(params))
+        ema_cfg = dict2namespace({
+            "use_ema": use_ema, "ema_decay": 0.5,
+            "update_ema_interval": 1, "start_ema_step": start_ema_step,
+        })
+        step_fn = jax.jit(make_train_step(
+            model, tx, cfg.training, ema_config=ema_cfg,
+            lr_scheduler_config=cfg.BB.lr_scheduler,
+        ))
+        state = TrainState(
+            step=jnp.asarray(0, jnp.int32), params=params,
+            ema_params=jax.tree_util.tree_map(lambda p: p, params),
+            opt_state=tx.init(params), plateau=plateau_init(cfg.BB.optimizer.lr),
+            grad_accum=zeros_like_tree(params) if accumulate > 1 else None,
+        )
+        return model, step_fn, state
+
+    def _batch(self, key=0):
+        kx, ky = jax.random.split(jax.random.PRNGKey(key))
+        return jax.random.normal(kx, (2, 8, 8, 3)), jax.random.normal(ky, (2, 8, 8, 3))
+
+    def test_params_update_every_step_when_accum_1(self):
+        model, step_fn, state = self._setup(accumulate=1)
+        x, y = self._batch()
+        p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+        state, metrics = step_fn(state, x, y, jax.random.PRNGKey(1))
+        assert int(state.step) == 1
+        p1 = jax.tree_util.tree_leaves(state.params)[0]
+        assert float(jnp.abs(p1 - p0).max()) > 0
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_accumulation_defers_update(self):
+        model, step_fn, state = self._setup(accumulate=2)
+        x, y = self._batch()
+        p0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+        state, _ = step_fn(state, x, y, jax.random.PRNGKey(1))  # step 1: no update
+        p1 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+        np.testing.assert_array_equal(p0, p1)
+        accum = np.asarray(jax.tree_util.tree_leaves(state.grad_accum)[0])
+        assert np.abs(accum).sum() > 0
+        state, _ = step_fn(state, x, y, jax.random.PRNGKey(2))  # step 2: update
+        p2 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+        assert np.abs(p2 - p1).max() > 0
+        accum2 = np.asarray(jax.tree_util.tree_leaves(state.grad_accum)[0])
+        np.testing.assert_allclose(accum2, 0.0)
+
+    def test_ema_warmup_copies_params(self):
+        model, step_fn, state = self._setup(use_ema=True, start_ema_step=1000)
+        x, y = self._batch()
+        state, _ = step_fn(state, x, y, jax.random.PRNGKey(1))
+        # warmup: ema == params exactly
+        for e, p in zip(jax.tree_util.tree_leaves(state.ema_params),
+                        jax.tree_util.tree_leaves(state.params)):
+            np.testing.assert_array_equal(np.asarray(e), np.asarray(p))
+
+    def test_ema_decay_after_start(self):
+        model, step_fn, state = self._setup(use_ema=True, start_ema_step=0)
+        x, y = self._batch()
+        state, _ = step_fn(state, x, y, jax.random.PRNGKey(1))
+        diff = 0.0
+        for e, p in zip(jax.tree_util.tree_leaves(state.ema_params),
+                        jax.tree_util.tree_leaves(state.params)):
+            diff += float(jnp.abs(e - p).sum())
+        assert diff > 0  # shadow lags behind live params
