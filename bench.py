@@ -34,7 +34,10 @@ def main():
     params = model.init_params(jax.random.PRNGKey(0))
 
     def sample_fn(params, rng, x_cond):
-        return model.sample(params, rng, x_cond, clip_denoised=False)
+        out = model.sample(params, rng, x_cond, clip_denoised=False)
+        # scalar checksum: fetching it forces a full device sync (the axon
+        # tunnel's block_until_ready does not reliably block)
+        return out.mean()
 
     fn = jax.jit(sample_fn)
     x_cond = jnp.zeros((batch, 256, 256, 3), jnp.float32)
@@ -48,15 +51,13 @@ def main():
     except Exception:
         flops_per_batch = 0.0
 
-    # warmup/compile
-    out = fn(params, rng, x_cond)
-    jax.block_until_ready(out)
+    # warmup/compile (float() fetch = hard sync)
+    float(fn(params, rng, x_cond))
 
     runs = 3
     t0 = time.perf_counter()
     for i in range(runs):
-        out = fn(params, jax.random.fold_in(rng, i), x_cond)
-    jax.block_until_ready(out)
+        float(fn(params, jax.random.fold_in(rng, i), x_cond))
     dt = (time.perf_counter() - t0) / runs
 
     samples_per_sec = batch / dt
