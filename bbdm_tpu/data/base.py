@@ -8,17 +8,32 @@ indices past the original length return the horizontally flipped image.
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 
 import numpy as np
 from PIL import Image
 
+_USE_NATIVE = os.environ.get("BBDM_NATIVE", "1") != "0"
+
 
 def load_image(path: str, image_size: tuple[int, int], flip: bool, to_normal: bool) -> np.ndarray:
-    """Decode -> RGB -> resize (H,W) -> [0,1] float32 HWC; optional flip/normalize."""
+    """Decode -> RGB -> resize (H,W) -> [0,1] float32 HWC; optional flip/normalize.
+
+    The resample/flip/normalize pass runs in the fastimage C++ extension when
+    available (PIL-compatible triangle-filter resampling, single fused pass);
+    set BBDM_NATIVE=0 to force the PIL path.
+    """
     img = Image.open(path)
     if img.mode != "RGB":
         img = img.convert("RGB")
+    if _USE_NATIVE:
+        from bbdm_tpu.native.fastimage import preprocess_image
+
+        arr = preprocess_image(np.asarray(img), tuple(image_size),
+                               flip=flip, to_normal=to_normal)
+        if arr is not None:
+            return arr
     if flip:
         img = img.transpose(Image.FLIP_LEFT_RIGHT)
     # PIL resize takes (W, H); reference uses torchvision Resize((H, W)) bilinear
