@@ -102,6 +102,26 @@ def _plain(obj):
     return str(obj)
 
 
+def get_obj_from_str(string: str, reload: bool = False):
+    """Dotted-path import (reference `utils.py:30-35`)."""
+    import importlib
+
+    module, cls = string.rsplit(".", 1)
+    if reload:
+        importlib.reload(importlib.import_module(module))
+    return getattr(importlib.import_module(module, package=None), cls)
+
+
+def instantiate_from_config(config):
+    """Instantiate ``target:`` + ``params:`` config nodes
+    (reference `utils.py:38-41`)."""
+    if "target" not in config:
+        raise KeyError("Expected key `target` to instantiate.")
+    params = config.get("params", None)
+    kwargs = namespace2dict(params) if isinstance(params, SimpleNamespace) else (params or {})
+    return get_obj_from_str(config["target"])(**kwargs)
+
+
 def apply_cli_overrides(config: ConfigNode, args) -> ConfigNode:
     """Fold CLI args into the config tree (reference `main.py:41-50`).
 

@@ -162,7 +162,7 @@ class ResBlock(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, emb, *, train: bool = False):
+    def __call__(self, x, emb, train: bool = False):
         in_ch = x.shape[-1]
         h = GroupNorm32(name="in_norm")(x, act="silu")
         if self.up:
@@ -220,6 +220,52 @@ class AttentionBlock(nn.Module):
         a = a.transpose(0, 2, 1, 3).reshape(B, H * W, C)
         a = dense(C, init=zeros_init, dtype=self.dtype, name="proj_out")(a)
         return x + a.reshape(B, H, W, C)
+
+
+class LinearAttention(nn.Module):
+    """Linear (kernelized) attention (reference attention.py:81-97): softmax
+    over keys, O(T*d^2) instead of O(T^2*d). Not used by the shipped
+    templates; provided for architecture-config parity."""
+
+    heads: int = 4
+    dim_head: int = 32
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        inner = self.heads * self.dim_head
+        qkv = conv1x1(inner * 3, init=torch_default_init, dtype=self.dtype,
+                      name="to_qkv")(x)
+        qkv = qkv.reshape(B, H * W, 3, self.heads, self.dim_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,T,h,d]
+        k = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(x.dtype)
+        context = jnp.einsum("bthd,bthe->bhde", k, v)
+        out = jnp.einsum("bhde,bthd->bthe", context, q)
+        out = out.reshape(B, H, W, inner)
+        return conv1x1(C, init=torch_default_init, dtype=self.dtype, name="to_out")(out)
+
+
+class SpatialSelfAttention(nn.Module):
+    """Single-head conv-projected spatial self-attention
+    (reference attention.py:100-150). Unused by the templates; parity item."""
+
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        h = GroupNorm32(eps=1e-6, name="norm")(x)
+        q = conv1x1(C, init=torch_default_init, dtype=self.dtype, name="q")(h)
+        k = conv1x1(C, init=torch_default_init, dtype=self.dtype, name="k")(h)
+        v = conv1x1(C, init=torch_default_init, dtype=self.dtype, name="v")(h)
+        T = H * W
+        logits = jnp.einsum("bqc,bkc->bqk", q.reshape(B, T, C), k.reshape(B, T, C),
+                            preferred_element_type=jnp.float32) * (C ** -0.5)
+        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bqk,bkc->bqc", w, v.reshape(B, T, C)).reshape(B, H, W, C)
+        out = conv1x1(C, init=torch_default_init, dtype=self.dtype, name="proj_out")(out)
+        return x + out
 
 
 class CrossAttention(nn.Module):

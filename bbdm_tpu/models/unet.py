@@ -66,6 +66,7 @@ class UNet(nn.Module):
     transformer_depth: int = 1
     context_dim: Optional[int] = None
     condition_key: str = "nocond"
+    use_checkpoint: bool = False
     init_scheme: str = "reference"
     dtype: Any = jnp.bfloat16
 
@@ -114,7 +115,12 @@ class UNet(nn.Module):
         xattn = None if not self.use_spatial_transformer else context
 
         def res(ch, name, **kw):
-            return ResBlock(
+            # activation checkpointing (reference use_checkpoint per-ResBlock,
+            # `diffusionmodules/util.py:102-148`) -> jax.remat: recompute the
+            # block in the backward pass instead of storing activations
+            # static_argnums=(3,): the `train` flag (self at 0, x, emb, train)
+            cls = nn.remat(ResBlock, static_argnums=(3,)) if self.use_checkpoint else ResBlock
+            return cls(
                 out_channels=ch, use_scale_shift_norm=self.use_scale_shift_norm,
                 dropout=self.dropout, init_scheme=self.init_scheme,
                 dtype=self.dtype, name=name, **kw,
@@ -127,7 +133,7 @@ class UNet(nn.Module):
         ds = 1
         for level, mult in enumerate(self.channel_mult):
             for i in range(self.num_res_blocks):
-                h = res(mult * mc, f"down_{level}_{i}")(h, emb, train=train)
+                h = res(mult * mc, f"down_{level}_{i}")(h, emb, train)
                 if ds in self.attention_resolutions:
                     attn = self._attention(h.shape[-1], f"down_{level}_{i}_attn")
                     h = attn(h, xattn) if self.use_spatial_transformer else attn(h)
@@ -135,7 +141,7 @@ class UNet(nn.Module):
             if level != len(self.channel_mult) - 1:
                 ch = h.shape[-1]
                 if self.resblock_updown:
-                    h = res(ch, f"down_{level}_ds", down=True)(h, emb, train=train)
+                    h = res(ch, f"down_{level}_ds", down=True)(h, emb, train)
                 else:
                     h = Downsample(ch, self.conv_resample, dtype=self.dtype,
                                    name=f"down_{level}_ds")(h)
@@ -144,24 +150,24 @@ class UNet(nn.Module):
 
         # --- middle ---
         ch = h.shape[-1]
-        h = res(ch, "mid_res_0")(h, emb, train=train)
+        h = res(ch, "mid_res_0")(h, emb, train)
         attn = self._attention(ch, "mid_attn")
         h = attn(h, xattn) if self.use_spatial_transformer else attn(h)
-        h = res(ch, "mid_res_1")(h, emb, train=train)
+        h = res(ch, "mid_res_1")(h, emb, train)
 
         # --- decoder ---
         for level, mult in reversed(list(enumerate(self.channel_mult))):
             for i in range(self.num_res_blocks + 1):
                 skip = hs.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
-                h = res(mult * mc, f"up_{level}_{i}")(h, emb, train=train)
+                h = res(mult * mc, f"up_{level}_{i}")(h, emb, train)
                 if ds in self.attention_resolutions:
                     attn = self._attention(h.shape[-1], f"up_{level}_{i}_attn")
                     h = attn(h, xattn) if self.use_spatial_transformer else attn(h)
                 if level and i == self.num_res_blocks:
                     ch = h.shape[-1]
                     if self.resblock_updown:
-                        h = res(ch, f"up_{level}_us", up=True)(h, emb, train=train)
+                        h = res(ch, f"up_{level}_us", up=True)(h, emb, train)
                     else:
                         h = Upsample(ch, self.conv_resample, dtype=self.dtype,
                                      name=f"up_{level}_us")(h)
@@ -198,6 +204,7 @@ class UNet(nn.Module):
             transformer_depth=p.get("transformer_depth", 1),
             context_dim=p.get("context_dim", None),
             condition_key=condition_key,
+            use_checkpoint=p.get("use_checkpoint", False),
             dtype=dtype,
             init_scheme=init_scheme,
         )

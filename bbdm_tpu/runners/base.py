@@ -70,6 +70,10 @@ class BaseRunner(ABC):
         self.save_config()
         self.writer = SummaryWriter(self.config.result.log_path)
 
+        # opt-in debug/observability (SURVEY.md §5 aux subsystems)
+        if config.training.get("debug_nan", False):
+            jax.config.update("jax_debug_nans", True)
+
         # mesh + model + state; training.mesh_devices caps the data-parallel
         # width (default: all local devices)
         n_mesh = config.training.get("mesh_devices", None)
@@ -79,6 +83,7 @@ class BaseRunner(ABC):
         self.model = self.initialize_model(config)
         self.rng, init_rng = jax.random.split(self.rng)
         params = self.model.init_params(init_rng)
+        params = self.on_params_initialized(params)
         self.print_model_summary(params)
 
         self.use_ema = (
@@ -88,12 +93,17 @@ class BaseRunner(ABC):
         self.tx, self.lr_scheduler_config, init_lr = self.initialize_optimizer_scheduler(
             params, config
         )
+        self.state = self.build_initial_state(params, init_lr)
+        self.load_model_from_checkpoint()
+        self._train_step = jax.jit(self.build_train_step(), donate_argnums=(0,))
+        self._eval_step = jax.jit(self.build_eval_step())
+
+    def build_initial_state(self, params, init_lr):
+        from bbdm_tpu.training.ema import ema_init
         from bbdm_tpu.training.plateau import plateau_init
 
-        from bbdm_tpu.training.ema import ema_init
-
-        accumulate = config.training.get("accumulate_grad_batches", 1)
-        self.state = TrainState(
+        accumulate = self.config.training.get("accumulate_grad_batches", 1)
+        return TrainState(
             step=jnp.asarray(self.global_step, jnp.int32),
             params=params,
             ema_params=ema_init(params) if self.use_ema else None,
@@ -103,18 +113,15 @@ class BaseRunner(ABC):
             latent_stats=self.default_latent_stats(),
         )
 
-        self.load_model_from_checkpoint()
-
-        # compiled steps
-        ema_cfg = config.model.EMA if "EMA" in config.model else None
-        self._train_step = jax.jit(
-            make_train_step(
-                self.model, self.tx, config.training,
-                ema_config=ema_cfg, lr_scheduler_config=self.lr_scheduler_config,
-            ),
-            donate_argnums=(0,),
+    def build_train_step(self):
+        ema_cfg = self.config.model.EMA if "EMA" in self.config.model else None
+        return make_train_step(
+            self.model, self.tx, self.config.training,
+            ema_config=ema_cfg, lr_scheduler_config=self.lr_scheduler_config,
         )
-        self._eval_step = jax.jit(make_eval_step(self.model))
+
+    def build_eval_step(self):
+        return make_eval_step(self.model)
 
     # ------------------------------------------------------------- helpers
 
@@ -223,6 +230,11 @@ class BaseRunner(ABC):
     def on_save_checkpoint(self, train_loader, val_loader, epoch, step):
         pass
 
+    def on_params_initialized(self, params):
+        """Hook to patch freshly-initialized params (e.g. load a frozen
+        first-stage checkpoint) before any state is built."""
+        return params
+
     # ----------------------------------------------------------- val/sample
 
     def validation_step(self, val_batch, epoch, step):
@@ -299,6 +311,12 @@ class BaseRunner(ABC):
                 val_iter = iter(val_loader)
                 return next(val_iter)
 
+        # opt-in profiler trace over a step window (training.profile_dir)
+        profile_dir = training.get("profile_dir", None)
+        profile_start = training.get("profile_start_step", 10)
+        profile_steps = training.get("profile_steps", 5)
+        profiling = False
+
         average_loss = float("nan")
         try:
             for epoch in range(start_epoch, training.n_epochs):
@@ -313,6 +331,15 @@ class BaseRunner(ABC):
                     x, y = self._put_batch(train_batch)
                     self.state, metrics = self._train_step(self.state, x, y, self.next_rng())
                     self.global_step += 1
+
+                    if profile_dir and self.is_main_process:
+                        if self.global_step == profile_start and not profiling:
+                            jax.profiler.start_trace(profile_dir)
+                            profiling = True
+                        elif profiling and self.global_step >= profile_start + profile_steps:
+                            jax.profiler.stop_trace()
+                            profiling = False
+                            self.logger(f"profiler trace written to {profile_dir}")
 
                     if self.is_main_process:
                         self.writer.add_scalar("loss/train", float(metrics["loss"]), self.global_step)

@@ -21,7 +21,7 @@ from bbdm_tpu.checkpoints.io import load_checkpoint
 from bbdm_tpu.models import build_model
 from bbdm_tpu.models.latent import LatentBrownianBridgeModel, init_latent_stats
 from bbdm_tpu.registry import Registers
-from bbdm_tpu.runners.base import BaseRunner
+from bbdm_tpu.runners.diffusion_base import DiffusionBaseRunner
 from bbdm_tpu.runners.utils import make_dir
 from bbdm_tpu.training.optim import build_optimizer
 from bbdm_tpu.utils.images import get_image_grid, save_single_image
@@ -29,7 +29,7 @@ from flax import serialization
 
 
 @Registers.runners.register_with_name("BBDMRunner")
-class BBDMRunner(BaseRunner):
+class BBDMRunner(DiffusionBaseRunner):
     def initialize_model(self, config):
         return build_model(config.model)
 
@@ -62,6 +62,38 @@ class BBDMRunner(BaseRunner):
         mask = self.model.trainable_mask(params)
         tx = build_optimizer(optim_cfg, trainable_mask=mask)
         return tx, config.model.BB.lr_scheduler, optim_cfg.lr
+
+    def on_params_initialized(self, params):
+        """Load the frozen VQGAN first stage from ``VQGAN.params.ckpt_path``
+        (reference `model/VQGAN/vqgan.py:63-72` loads it at construction).
+        Accepts our .ckpt format or a torch LDM checkpoint (auto-converted).
+        """
+        if not self.is_latent:
+            return params
+        path = self.config.model.VQGAN.params.get("ckpt_path")
+        if not path:
+            return params
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"VQGAN checkpoint not found: {path}")
+        try:
+            tree = load_checkpoint(path)
+            # accept a bare vqgan tree, a converted {'vqgan': ...} ckpt, or a
+            # VQGANRunner training checkpoint ({'model': {'vqgan': ...}, ...})
+            if "vqgan" in tree:
+                vq = tree["vqgan"]
+            elif "model" in tree and "vqgan" in tree["model"]:
+                vq = tree["model"]["vqgan"]
+            else:
+                vq = tree
+        except Exception:
+            from bbdm_tpu.checkpoints.torch_import import convert_ldm_vqgan_checkpoint
+
+            vq = convert_ldm_vqgan_checkpoint(path)
+        from flax import serialization as _ser
+
+        params["vqgan"] = _ser.from_state_dict(params["vqgan"], vq)
+        self.logger(f"load vqgan from {path}")
+        return params
 
     # -------------------------------------------------------- latent stats
 

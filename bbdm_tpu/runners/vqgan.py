@@ -1,0 +1,220 @@
+"""VQGANRunner: in-framework first-stage (VQGAN) training.
+
+A capability the reference stubs but cannot run (`model/VQGAN/vqgan.py:102-150`
+declares LightningModule steps nothing drives — SURVEY.md §7 stretch 11): here
+the full adversarial autoencoder training loop works end-to-end so users can
+produce the frozen first stage for LBBDM inside one framework.
+
+Config schema (configs/Template-VQGAN-f4.yaml):
+    runner: "VQGANRunner"
+    model:
+      model_type: "VQGAN"
+      VQGAN: {params: {embed_dim, n_embed, ddconfig: {...}}}
+      loss: {disc_start, disc_weight, codebook_weight, perceptual_weight,
+             disc_loss: hinge|vanilla, adaptive_disc_weight, use_actnorm,
+             disc_ndf, disc_num_layers, lpips_weights: <path|null>}
+      optimizer: {lr, beta1}   # Adam for both players (taming recipe)
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from bbdm_tpu.checkpoints.io import load_checkpoint, save_checkpoint
+from bbdm_tpu.models.discriminator import NLayerDiscriminator
+from bbdm_tpu.models.vqgan import VQModel
+from bbdm_tpu.registry import Registers
+from bbdm_tpu.runners.base import BaseRunner
+from bbdm_tpu.runners.utils import make_dir
+from bbdm_tpu.training.gan import GANTrainState, make_vqgan_train_step
+from bbdm_tpu.utils.images import get_image_grid, save_single_image
+
+
+class _VQGANTrainModel:
+    """Holder pairing the VQ autoencoder with its PatchGAN critic."""
+
+    def __init__(self, model_config, dtype=jnp.float32):
+        self.config = model_config
+        self.vq = VQModel.from_config(model_config.VQGAN.params, dtype=dtype)
+        loss_cfg = model_config.get("loss", None)
+        self.loss_config = loss_cfg
+        self.disc = NLayerDiscriminator(
+            ndf=loss_cfg.get("disc_ndf", 64) if loss_cfg else 64,
+            n_layers=loss_cfg.get("disc_num_layers", 3) if loss_cfg else 3,
+            use_actnorm=loss_cfg.get("use_actnorm", False) if loss_cfg else False,
+            dtype=dtype,
+        )
+        dd = model_config.VQGAN.params.ddconfig
+        self.resolution = dd.resolution
+        self.in_channels = dd.in_channels
+
+    def init_params(self, rng):
+        vq_rng, d_rng = jax.random.split(rng)
+        img = jnp.zeros((1, self.resolution, self.resolution, self.in_channels))
+        vq_vars = self.vq.init(vq_rng, img)
+        disc_vars = self.disc.init(d_rng, img, train=False)
+        return {
+            "vqgan": vq_vars["params"],
+            "discriminator": disc_vars["params"],
+            "disc_stats": disc_vars.get("batch_stats", None),
+        }
+
+    def loss(self, params, rng, x, y):
+        """Eval metric: plain reconstruction L1 (no adversarial terms)."""
+        xrec, _ = self.vq.apply({"params": params["vqgan"]}, x)
+        return jnp.abs(x - xrec).mean(), {}
+
+    def reconstruct(self, gen_params, x):
+        xrec, _ = self.vq.apply({"params": gen_params}, x)
+        return xrec
+
+    def trainable_mask(self, params):
+        return jax.tree_util.tree_map(lambda _: True, params)
+
+
+@Registers.runners.register_with_name("VQGANRunner")
+class VQGANRunner(BaseRunner):
+    def initialize_model(self, config):
+        mixed = config.model.get("mixed_precision", False)
+        return _VQGANTrainModel(config.model, dtype=jnp.bfloat16 if mixed else jnp.float32)
+
+    def print_model_summary(self, params):
+        n = sum(x.size for x in jax.tree_util.tree_leaves(params["vqgan"]))
+        d = sum(x.size for x in jax.tree_util.tree_leaves(params["discriminator"]))
+        self.logger("VQGAN parameters: %.2fM  discriminator: %.2fM" % (n / 1e6, d / 1e6))
+
+    def initialize_optimizer_scheduler(self, params, config):
+        opt = config.model.optimizer
+        lr = opt.lr
+        beta1 = opt.get("beta1", 0.5)
+        tx = optax.adam(lr, b1=beta1, b2=0.9)  # taming recipe betas (0.5, 0.9)
+        return tx, None, lr
+
+    def build_initial_state(self, params, init_lr):
+        self._gen_tx = self.tx
+        self._disc_tx = optax.adam(init_lr, b1=0.5, b2=0.9)
+        return GANTrainState(
+            step=jnp.asarray(self.global_step, jnp.int32),
+            gen_params=params["vqgan"],
+            disc_params=params["discriminator"],
+            gen_opt=self._gen_tx.init(params["vqgan"]),
+            disc_opt=self._disc_tx.init(params["discriminator"]),
+            disc_stats=params["disc_stats"],
+            ema_params=None,
+        )
+
+    def build_train_step(self):
+        loss_cfg = self.config.model.loss
+        lpips_params = None
+        lp = loss_cfg.get("lpips_weights", None)
+        if lp:
+            from bbdm_tpu.evaluation.lpips import load_lpips_params
+
+            lpips_params = load_lpips_params(lp, net="vgg")
+            self.logger(f"perceptual loss enabled (LPIPS weights: {lp})")
+        elif loss_cfg.get("perceptual_weight", 1.0) > 0:
+            self.logger("no lpips_weights configured: training with pixel L1 only")
+
+        def raw_step(state, x, y, rng):  # y (condition) unused for autoencoding
+            return self._gan_step(state, x, rng)
+
+        self._gan_step = make_vqgan_train_step(
+            self.model.vq, self.model.disc, self._gen_tx, self._disc_tx,
+            loss_cfg, lpips_params=lpips_params,
+        )
+        return raw_step
+
+    def build_eval_step(self):
+        def eval_step(state, x, y, rng):
+            loss, _ = self.model.loss({"vqgan": state.gen_params}, rng, x, y)
+            return loss
+
+        return eval_step
+
+    # ---------------------------------------------------------- checkpoints
+
+    def get_checkpoint_states(self, stage="epoch_end"):
+        state = self.state
+        model_states = {
+            "step": int(state.step),
+            "model": {
+                "vqgan": serialization.to_state_dict(jax.device_get(state.gen_params)),
+                "discriminator": serialization.to_state_dict(
+                    jax.device_get(state.disc_params)),
+                "disc_stats": serialization.to_state_dict(
+                    jax.device_get(state.disc_stats)) if state.disc_stats is not None else None,
+            },
+            "epoch": self.global_epoch if stage == "exception" else self.global_epoch + 1,
+        }
+        optimizer_scheduler_states = {
+            "optimizer": [
+                serialization.to_state_dict(jax.device_get(state.gen_opt)),
+                serialization.to_state_dict(jax.device_get(state.disc_opt)),
+            ],
+            "scheduler": [],
+        }
+        return model_states, optimizer_scheduler_states
+
+    def load_model_from_checkpoint(self):
+        path = self.config.model.get("model_load_path")
+        if not path:
+            return None
+        self.logger(f"load model {self.config.model.model_name} from {path}")
+        states = load_checkpoint(path)
+        self.global_epoch = int(states["epoch"])
+        self.global_step = int(states["step"])
+        st = self.state
+        gen = serialization.from_state_dict(st.gen_params, states["model"]["vqgan"])
+        disc = serialization.from_state_dict(st.disc_params, states["model"]["discriminator"])
+        stats = st.disc_stats
+        if stats is not None and states["model"].get("disc_stats") is not None:
+            stats = serialization.from_state_dict(stats, states["model"]["disc_stats"])
+        self.state = st.replace(
+            step=jnp.asarray(self.global_step, jnp.int32),
+            gen_params=gen, disc_params=disc, disc_stats=stats,
+        )
+        if self.config.args.train:
+            opt_path = self.config.model.get("optim_sche_load_path")
+            if opt_path:
+                osd = load_checkpoint(opt_path)
+                self.state = self.state.replace(
+                    gen_opt=serialization.from_state_dict(st.gen_opt, osd["optimizer"][0]),
+                    disc_opt=serialization.from_state_dict(st.disc_opt, osd["optimizer"][1]),
+                )
+        return states
+
+    # ------------------------------------------------------------- sampling
+
+    def sample(self, batch, sample_path, stage="train"):
+        """Input / reconstruction grids."""
+        sample_path = make_dir(os.path.join(sample_path, f"{stage}_sample"))
+        to_normal = self.config.data.dataset_config.to_normal
+        x = np.asarray(batch["x"])[:4]
+        xrec = np.asarray(self.model.reconstruct(self.state.gen_params, jnp.asarray(x)))
+        from PIL import Image
+
+        for name, img in (("input", x), ("reconstruction", xrec)):
+            grid = get_image_grid(img, 4, to_normal=to_normal)
+            Image.fromarray(grid).save(os.path.join(sample_path, f"{name}.png"))
+            if stage != "test" and self.is_main_process:
+                self.writer.add_image(f"{stage}_{name}", grid, self.global_step,
+                                      dataformats="HWC")
+
+    def sample_to_eval(self, test_loader, sample_path):
+        """Reconstruct the test set (for rFID / reconstruction metrics)."""
+        rec_path = make_dir(os.path.join(sample_path, "reconstruction"))
+        gt_path = make_dir(os.path.join(sample_path, "ground_truth"))
+        to_normal = self.config.data.dataset_config.to_normal
+        recon = jax.jit(self.model.reconstruct)
+        for batch in test_loader:
+            x = jnp.asarray(batch["x"])
+            xrec = np.asarray(recon(self.state.gen_params, x))
+            for i, name in enumerate(batch["x_name"]):
+                save_single_image(np.asarray(x)[i], gt_path, f"{name}.png", to_normal)
+                save_single_image(xrec[i], rec_path, f"{name}.png", to_normal)

@@ -28,6 +28,7 @@ class TrainState:
     plateau: PlateauState
     grad_accum: Optional[Any] = None  # present iff accumulate_grad_batches > 1
     latent_stats: Optional[Any] = None  # LBBDM normalize_latent stats
+    model_state: Optional[Any] = None  # mutable collections (e.g. GAN batch_stats)
 
 
 def zeros_like_tree(tree):

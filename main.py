@@ -47,12 +47,21 @@ def parse_args():
 
 
 def main():
+    import os
+
     args = parse_args()
 
     if args.gpu_ids == "-1":  # CPU path (reference main.py:112-115)
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    # multi-host TPU slices: coordinator discovery comes from the TPU runtime
+    # environment (replaces the reference's NCCL localhost rendezvous)
+    if os.environ.get("BBDM_MULTIHOST") == "1":
+        import jax
+
+        jax.distributed.initialize()
 
     from bbdm_tpu.config import apply_cli_overrides, load_config
     from bbdm_tpu.registry import get_runner
