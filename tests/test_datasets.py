@@ -1,0 +1,173 @@
+"""Dataset-layer unit tests: all five registered types, flip-doubling,
+inpainting mask geometry, loader sharding/shuffle determinism
+(SURVEY.md §4 unit plan)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from bbdm_tpu.config import dict2namespace
+from bbdm_tpu.data import DataLoader, get_dataset
+from bbdm_tpu.registry import Registers
+
+
+@pytest.fixture(scope="module")
+def image_root(tmp_path_factory):
+    """root/flat/<stage>/*.png for single-dir types; root/aligned/<stage>/{A,B}."""
+    root = tmp_path_factory.mktemp("ds")
+    rs = np.random.RandomState(0)
+    for stage in ("train", "val", "test"):
+        os.makedirs(root / "flat" / stage, exist_ok=True)
+        for side in ("A", "B"):
+            os.makedirs(root / "aligned" / stage / side, exist_ok=True)
+        for i in range(6):
+            arr = rs.randint(0, 255, (16, 16, 3), np.uint8)
+            Image.fromarray(arr).save(root / "flat" / stage / f"img_{i}.png")
+            Image.fromarray(arr).save(root / "aligned" / stage / "A" / f"img_{i}.png")
+            Image.fromarray(255 - arr).save(root / "aligned" / stage / "B" / f"img_{i}.png")
+    return root
+
+
+def _cfg(root, flip=False, size=16):
+    return dict2namespace({
+        "dataset_path": str(root), "image_size": size,
+        "channels": 3, "to_normal": True, "flip": flip,
+    })
+
+
+def test_all_five_types_registered():
+    for name in ("custom_single", "custom_aligned", "custom_colorization_RGB",
+                 "custom_colorization_LAB", "custom_inpainting"):
+        assert name in Registers.datasets
+
+
+def test_custom_single_pairs_self(image_root):
+    ds = Registers.datasets["custom_single"](_cfg(image_root / "flat"), stage="train")
+    (x, xn), (c, cn) = ds[0]
+    np.testing.assert_array_equal(x, c)
+    assert xn == cn
+
+
+def test_custom_aligned_pairs_b_with_a(image_root):
+    ds = Registers.datasets["custom_aligned"](_cfg(image_root / "aligned"), stage="train")
+    (x, xn), (c, cn) = ds[0]
+    # B is the inverted A in the fixture: x ~= -c in [-1,1] space
+    np.testing.assert_allclose(x, -c, atol=3 / 127.5)
+    assert xn == cn == "img_0"
+
+
+def test_flip_doubles_length_and_mirrors(image_root):
+    ds = Registers.datasets["custom_single"](_cfg(image_root / "flat", flip=True), stage="train")
+    assert len(ds) == 12
+    (x, _), _ = ds[0]
+    (xf, _), _ = ds[6]
+    np.testing.assert_allclose(xf, x[:, ::-1, :], atol=2 / 127.5)
+
+
+def test_flip_off_for_eval_stages(image_root):
+    ds = Registers.datasets["custom_single"](_cfg(image_root / "flat", flip=True), stage="val")
+    assert len(ds) == 6
+
+
+def test_colorization_rgb_condition_is_gray(image_root):
+    ds = Registers.datasets["custom_colorization_RGB"](_cfg(image_root / "flat"), stage="train")
+    (x, _), (cond, _) = ds[0]
+    # all three channels identical
+    np.testing.assert_array_equal(cond[..., 0], cond[..., 1])
+    np.testing.assert_array_equal(cond[..., 1], cond[..., 2])
+    # luma relation holds
+    lum = (x + 1) / 2
+    L = lum[..., 0] * 0.299 + lum[..., 1] * 0.587 + lum[..., 2] * 0.114
+    np.testing.assert_allclose((cond[..., 0] + 1) / 2, L, atol=2e-2)
+
+
+def test_colorization_lab_shapes(image_root):
+    ds = Registers.datasets["custom_colorization_LAB"](_cfg(image_root / "flat"), stage="train")
+    (x, xn), (cond, cn) = ds[0]
+    assert x.shape == (16, 16, 3) and cond.shape == (16, 16, 3)
+    assert np.abs(x).max() <= 1.0
+    np.testing.assert_array_equal(cond[..., 0], cond[..., 1])
+
+
+def test_inpainting_mask_geometry():
+    # 256^2 images so the reference's 128-180px box fits
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as root:
+        os.makedirs(os.path.join(root, "train"))
+        Image.fromarray(np.full((256, 256, 3), 255, np.uint8)).save(
+            os.path.join(root, "train", "white.png"))
+        cfg = dict2namespace({"dataset_path": root, "image_size": 256,
+                              "channels": 3, "to_normal": True, "flip": False})
+        ds = Registers.datasets["custom_inpainting"](cfg, stage="train")
+        (x, _), (cond, _) = ds[0]
+        # masked region is exactly -1 (zero in [0,1] terms times mask -> 0
+        # then the image was already normalized; cond = img * mask so masked
+        # pixels are 0.0 in [-1,1] space)
+        masked = np.isclose(cond[..., 0], 0.0)
+        area = masked.mean()
+        assert (128 * 128) / (256 * 256) - 0.01 <= area <= (180 * 180) / (256 * 256) + 0.01
+        # the mask is one contiguous axis-aligned box
+        rows = np.where(masked.any(axis=1))[0]
+        cols = np.where(masked.any(axis=0))[0]
+        assert masked[rows[0]:rows[-1] + 1, cols[0]:cols[-1] + 1].all()
+        assert 128 <= len(rows) <= 180 and 128 <= len(cols) <= 180
+
+
+def test_inpainting_mask_reseeds_per_epoch():
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as root:
+        os.makedirs(os.path.join(root, "train"))
+        Image.fromarray(np.full((256, 256, 3), 255, np.uint8)).save(
+            os.path.join(root, "train", "w.png"))
+        cfg = dict2namespace({"dataset_path": root, "image_size": 256,
+                              "channels": 3, "to_normal": True, "flip": False})
+        ds = Registers.datasets["custom_inpainting"](cfg, stage="train")
+        ds.set_epoch_seed(1)
+        _, (c1, _) = ds[0]
+        ds.set_epoch_seed(2)
+        _, (c2, _) = ds[0]
+        ds.set_epoch_seed(1)
+        _, (c1b, _) = ds[0]
+        assert np.abs(c1 - c2).max() > 0  # different epochs differ
+        np.testing.assert_array_equal(c1, c1b)  # same seed reproduces
+
+
+class TestLoader:
+    def _ds(self, root):
+        return Registers.datasets["custom_aligned"](_cfg(root / "aligned"), stage="train")
+
+    def test_drop_last_and_batch_shapes(self, image_root):
+        loader = DataLoader(self._ds(image_root), batch_size=4, shuffle=False)
+        batches = list(loader)
+        assert len(batches) == 1  # 6 imgs / 4 -> 1 full batch
+        assert batches[0]["x"].shape == (4, 16, 16, 3)
+        assert len(batches[0]["x_name"]) == 4
+
+    def test_epoch_shuffle_deterministic(self, image_root):
+        l1 = DataLoader(self._ds(image_root), 4, shuffle=True, seed=7)
+        l2 = DataLoader(self._ds(image_root), 4, shuffle=True, seed=7)
+        l1.set_epoch(3)
+        l2.set_epoch(3)
+        b1, b2 = next(iter(l1)), next(iter(l2))
+        assert b1["x_name"] == b2["x_name"]
+        l2.set_epoch(4)
+        b3 = next(iter(l2))
+        assert b1["x_name"] != b3["x_name"]
+
+    def test_sharding_partitions_all_items(self, image_root):
+        ds = self._ds(image_root)
+        names = set()
+        for shard in range(3):
+            loader = DataLoader(ds, 2, shuffle=False, shard_count=3, shard_index=shard)
+            for batch in loader:
+                names.update(batch["x_name"])
+        assert names == {f"img_{i}" for i in range(6)}
+
+    def test_loader_len(self, image_root):
+        assert len(DataLoader(self._ds(image_root), 2)) == 3
+        assert len(DataLoader(self._ds(image_root), 4)) == 1
+        assert len(DataLoader(self._ds(image_root), 4, drop_last=False)) == 2

@@ -1,0 +1,17 @@
+"""Driver entry points stay functional: dryrun_multichip on a virtual mesh."""
+
+import subprocess
+import sys
+
+
+def test_dryrun_multichip_4_devices():
+    script = (
+        "import os;"
+        "os.environ['XLA_FLAGS']=' --xla_force_host_platform_device_count=4"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=600';"
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import __graft_entry__ as g; g.dryrun_multichip(4)"
+    )
+    res = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                         text=True, timeout=600, cwd="/root/repo")
+    assert "dryrun_multichip(4): ok" in res.stdout, res.stderr[-2000:]
