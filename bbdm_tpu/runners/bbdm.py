@@ -203,15 +203,46 @@ class BBDMRunner(DiffusionBaseRunner):
         """Sampling uses EMA weights (reference sample_step applies the shadow)."""
         return self.state.ema_params if self.use_ema else self.state.params
 
+    @functools.cached_property
+    def _sample_mid_fn(self):
+        clip = self.config.testing.get("clip_denoised", False)
+
+        if self.is_latent:
+            def fn(params, rng, x_cond, stats):
+                return self.model.sample(params, rng, x_cond, clip_denoised=clip,
+                                         sample_mid_step=True, latent_stats=stats)
+        else:
+            def fn(params, rng, x_cond, stats):
+                return self.model.sample(params, rng, x_cond, clip_denoised=clip,
+                                         sample_mid_step=True)
+
+        return jax.jit(fn)
+
     def sample(self, batch, sample_path, stage="train"):
         """4-image grids: skip_sample / condition / ground_truth
-        (reference BBDMRunner.py:178-222)."""
+        (reference BBDMRunner.py:178-222); with ``testing.sample_mid_step``
+        also dumps the reverse trajectory and per-step x0 estimates
+        (the reference carries this path commented out, `:195-204`)."""
         sample_path = make_dir(os.path.join(sample_path, f"{stage}_sample"))
         to_normal = self.config.data.dataset_config.to_normal
         grid_size = 4
 
         x = np.asarray(batch["x"])[:4]
         x_cond = np.asarray(batch["x_cond"])[:4]
+
+        if self.config.testing.get("sample_mid_step", False):
+            imgs, one_step = self._sample_mid_fn(
+                self._ema_sample_params(), self.next_rng(),
+                jnp.asarray(x_cond), self.state.latent_stats)
+            self.save_images(
+                np.asarray(imgs), make_dir(os.path.join(sample_path, "reverse_sample")),
+                grid_size, save_interval=max(len(self.model.steps) // 4, 1),
+                writer_tag=f"{stage}_sample" if stage != "test" else None)
+            self.save_images(
+                np.asarray(one_step),
+                make_dir(os.path.join(sample_path, "reverse_one_step_samples")),
+                grid_size, save_interval=max(len(self.model.steps) // 4, 1),
+                writer_tag=f"{stage}_one_step_sample" if stage != "test" else None)
         sample = np.asarray(
             self._sample_fn(
                 self._ema_sample_params(), self.next_rng(),

@@ -26,6 +26,12 @@ import jax.numpy as jnp
 def main():
     import os
 
+    # persistent compilation cache: repeat benchmarks skip the multi-minute
+    # XLA compile of the 200-step scan
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/bbdm_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     config_path = os.environ.get("BENCH_CONFIG", "configs/Template-LBBDM-f4.yaml")
 

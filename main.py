@@ -63,6 +63,15 @@ def main():
 
         jax.distributed.initialize()
 
+    # persistent compilation cache: restarts/resumes skip recompiling the
+    # train step and sampler (disable with BBDM_JAX_CACHE=0)
+    if os.environ.get("BBDM_JAX_CACHE", "1") != "0":
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_CACHE_DIR", "/tmp/bbdm_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     from bbdm_tpu.config import apply_cli_overrides, load_config
     from bbdm_tpu.registry import get_runner
 
