@@ -212,6 +212,58 @@ class VectorQuantizer(nn.Module):
         return params["embedding"][indices]
 
 
+class GumbelQuantize(nn.Module):
+    """Gumbel-softmax categorical quantizer (reference quantize.py:110-211,
+    used by the GumbelVQ variant `model/VQGAN/vqgan.py:280-382`).
+
+    A 1x1 conv projects the latent to ``n_e`` logits; a (relaxed) one-hot draw
+    over the codebook axis mixes codebook rows: z_q = one_hot @ codebook. Hard
+    straight-through in training (gradient flows through the soft sample), pure
+    argmax when no RNG is supplied (deterministic eval — the reference keeps
+    sampling Gumbel noise in eval; we drop the noise there so frozen-first-stage
+    decoding is reproducible). Loss = kl_weight * KL(q || uniform). ``remap``
+    is not supported (no shipped reference config uses it).
+    """
+
+    n_e: int
+    e_dim: int
+    kl_weight: float = 5e-4
+    straight_through: bool = True
+
+    @nn.compact
+    def __call__(self, z, *, temp: float = 1.0, train: bool = False):
+        zf = z.astype(jnp.float32)
+        logits = nn.Conv(self.n_e, (1, 1), kernel_init=_init,
+                         param_dtype=jnp.float32, name="proj")(zf)
+        codebook = self.param(
+            "embedding", nn.initializers.normal(1.0), (self.n_e, self.e_dim),
+            jnp.float32)
+
+        if train:
+            u = jax.random.uniform(
+                self.make_rng("gumbel"), logits.shape, jnp.float32,
+                minval=jnp.finfo(jnp.float32).tiny, maxval=1.0)
+            noisy = logits - jnp.log(-jnp.log(u))
+        else:
+            noisy = logits
+        soft = jax.nn.softmax(noisy / temp, axis=-1)
+        idx = jnp.argmax(soft, axis=-1)
+        if (not train) or self.straight_through:
+            hard = jax.nn.one_hot(idx, self.n_e, dtype=jnp.float32)
+            one_hot = hard + soft - jax.lax.stop_gradient(soft)
+        else:
+            one_hot = soft
+        z_q = jnp.einsum("...n,nd->...d", one_hot, codebook,
+                         preferred_element_type=jnp.float32)
+
+        qy = jax.nn.softmax(logits, axis=-1)
+        kl = jnp.sum(qy * jnp.log(qy * self.n_e + 1e-10), axis=-1).mean()
+        return z_q.astype(z.dtype), self.kl_weight * kl, idx
+
+    def get_codebook_entry(self, params, indices):
+        return params["embedding"][indices]
+
+
 class VQModel(nn.Module):
     """Encoder + quantizer + decoder with pre/post 1x1 quant convs
     (reference vqgan.py:31-93). Exposes the piecemeal methods LBBDM uses.
@@ -220,6 +272,8 @@ class VQModel(nn.Module):
     ddconfig: dict
     n_embed: int
     embed_dim: int
+    quantizer_type: str = "nearest"  # {"nearest", "gumbel"} (GumbelVQ variant)
+    kl_weight: float = 5e-4
     dtype: Optional[Dtype] = None
 
     def setup(self):
@@ -236,7 +290,13 @@ class VQModel(nn.Module):
             resolution=dd["resolution"], z_channels=dd["z_channels"],
             dtype=self.dtype, name="decoder",
         )
-        self.quantize = VectorQuantizer(self.n_embed, self.embed_dim, name="quantize")
+        if self.quantizer_type == "gumbel":
+            self.quantize = GumbelQuantize(self.n_embed, self.embed_dim,
+                                           kl_weight=self.kl_weight, name="quantize")
+        elif self.quantizer_type == "nearest":
+            self.quantize = VectorQuantizer(self.n_embed, self.embed_dim, name="quantize")
+        else:
+            raise ValueError(f"unknown quantizer_type {self.quantizer_type!r}")
         self.quant_conv = nn.Conv(self.embed_dim, (1, 1), kernel_init=_init,
                                   param_dtype=jnp.float32, name="quant_conv")
         self.post_quant_conv = nn.Conv(dd["z_channels"], (1, 1), kernel_init=_init,
@@ -251,7 +311,9 @@ class VQModel(nn.Module):
         reference LatentBrownianBridgeModel.py:73-85)."""
         return self.quant_conv(self.encoder(x))
 
-    def quantize_latent(self, h):
+    def quantize_latent(self, h, *, temp: float = 1.0, train: bool = False):
+        if self.quantizer_type == "gumbel":
+            return self.quantize(h, temp=temp, train=train)
         return self.quantize(h)
 
     def apply_quant_conv(self, h):
@@ -261,10 +323,11 @@ class VQModel(nn.Module):
         """post_quant_conv -> decoder (reference vqgan.py:80-83)."""
         return self.decoder(self.post_quant_conv(quant))
 
-    def __call__(self, x):
-        """Full autoencode roundtrip (reference vqgan.py:90-93)."""
+    def __call__(self, x, *, temp: float = 1.0, train: bool = False):
+        """Full autoencode roundtrip (reference vqgan.py:90-93; GumbelVQ
+        threads a softmax temperature, vqgan.py:423-427)."""
         h = self.encode_latent(x)
-        quant, emb_loss, _ = self.quantize(h)
+        quant, emb_loss, _ = self.quantize_latent(h, temp=temp, train=train)
         return self.decode_from_quant(quant), emb_loss
 
     @staticmethod
@@ -277,4 +340,6 @@ class VQModel(nn.Module):
             "double_z": dd.get("double_z", False), "dropout": dd.get("dropout", 0.0),
         }
         return VQModel(ddconfig=ddconfig, n_embed=vq_params.n_embed,
-                       embed_dim=vq_params.embed_dim, dtype=dtype)
+                       embed_dim=vq_params.embed_dim,
+                       quantizer_type=vq_params.get("quantizer", "nearest"),
+                       kl_weight=vq_params.get("kl_weight", 5e-4), dtype=dtype)

@@ -65,6 +65,15 @@ def make_vqgan_train_step(
     lpips_params=None,
     ema_decay: float = 0.0,
 ) -> Callable:
+    is_gumbel = getattr(vq_model, "quantizer_type", "nearest") == "gumbel"
+    # Gumbel softmax temperature anneal (the reference's GumbelVQ drives a
+    # temperature_scheduler per step, `model/VQGAN/vqgan.py:337-342`; we use the
+    # standard exponential anneal: temp = max(min, init * exp(-rate * step))).
+    temp_cfg = loss_config.get("temperature_scheduler", None)
+    t_init = temp_cfg.get("temp_init", 1.0) if temp_cfg is not None else 1.0
+    t_min = temp_cfg.get("temp_min", 0.5) if temp_cfg is not None else 1.0
+    t_rate = temp_cfg.get("anneal_rate", 1e-5) if temp_cfg is not None else 0.0
+
     disc_start = loss_config.get("disc_start", 0)
     disc_factor_cfg = loss_config.get("disc_factor", 1.0)
     disc_weight = loss_config.get("disc_weight", 1.0)
@@ -87,10 +96,17 @@ def make_vqgan_train_step(
     def train_step(state: GANTrainState, x, rng):
         step = state.step + 1
         disc_factor = adopt_weight(disc_factor_cfg, step, disc_start)
+        temp = jnp.maximum(t_min, t_init * jnp.exp(-t_rate * step.astype(jnp.float32)))
+
+        def apply_vq(gp, inputs):
+            if is_gumbel:
+                return vq_model.apply({"params": gp}, inputs, temp=temp,
+                                      train=True, rngs={"gumbel": rng})
+            return vq_model.apply({"params": gp}, inputs)
 
         # ---------------- generator ----------------
         def gen_loss(gp):
-            xrec, qloss = vq_model.apply({"params": gp}, x)
+            xrec, qloss = apply_vq(gp, x)
             rec = reconstruction_loss(x, xrec, lpips_params=lpips_params,
                                       perceptual_weight=perceptual_weight)
             nll = rec.mean()
@@ -102,13 +118,13 @@ def make_vqgan_train_step(
                 w_last = gp["decoder"]["conv_out"]["kernel"]
 
                 def nll_of(w):
-                    xr, _ = vq_model.apply({"params": _replace_last(gp, w)}, x)
+                    xr, _ = apply_vq(_replace_last(gp, w), x)
                     return reconstruction_loss(
                         x, xr, lpips_params=lpips_params,
                         perceptual_weight=perceptual_weight).mean()
 
                 def g_of(w):
-                    xr, _ = vq_model.apply({"params": _replace_last(gp, w)}, x)
+                    xr, _ = apply_vq(_replace_last(gp, w), x)
                     lf, _ = apply_disc(state.disc_params, state.disc_stats,
                                        xr, train=False)
                     return -jnp.mean(lf)
@@ -158,6 +174,8 @@ def make_vqgan_train_step(
             "g_loss": aux["g_loss"], "q_loss": aux["q_loss"],
             "d_weight": aux["d_weight"],
         }
+        if is_gumbel:
+            metrics["temperature"] = temp
         return new_state, metrics
 
     return train_step
