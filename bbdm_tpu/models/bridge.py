@@ -183,6 +183,17 @@ class BrownianBridgeModel:
         elif context is None:
             context = y
 
+        # Pre-cast matmul/conv kernels to the compute dtype once, outside the
+        # scan: flax casts params at use (per step), which reads the fp32
+        # copies from HBM 200 times. 1-D params (GroupNorm scale/bias, conv
+        # biases) stay fp32 — GroupNorm statistics keep their fp32 contract.
+        if self.dtype != jnp.float32:
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(self.dtype)
+                if (p.dtype == jnp.float32 and p.ndim >= 2) else p,
+                params,
+            )
+
         c = self.coeffs
         xs = {
             "t": jnp.asarray(c.steps),

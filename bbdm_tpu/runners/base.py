@@ -327,6 +327,7 @@ class BaseRunner(ABC):
                 self.global_epoch = epoch
                 start_time = time.time()
 
+                pending_log = None  # (step, device metrics) — logged one step late
                 for train_batch in train_loader:
                     x, y = self._put_batch(train_batch)
                     self.state, metrics = self._train_step(self.state, x, y, self.next_rng())
@@ -342,13 +343,23 @@ class BaseRunner(ABC):
                             self.logger(f"profiler trace written to {profile_dir}")
 
                     if self.is_main_process:
-                        self.writer.add_scalar("loss/train", float(metrics["loss"]), self.global_step)
+                        # fetch the PREVIOUS step's loss after dispatching this
+                        # one: float() is a device sync, and syncing on the
+                        # just-dispatched step would stall the pipeline
+                        if pending_log is not None:
+                            self.writer.add_scalar(
+                                "loss/train", float(pending_log[1]["loss"]), pending_log[0])
+                        pending_log = (self.global_step, metrics)
 
                     if self.global_step % 50 == 0:
                         self.validation_step(next_val_batch(), epoch, self.global_step)
 
                     if self.global_step % sample_every == 0 and self.is_main_process:
                         self.sample_step(train_batch=train_batch, val_batch=next_val_batch())
+
+                if pending_log is not None and self.is_main_process:
+                    self.writer.add_scalar(
+                        "loss/train", float(pending_log[1]["loss"]), pending_log[0])
 
                 elapsed = int(round(time.time() - start_time))
                 self.logger(f"training time: {elapsed}s (epoch {epoch + 1})")

@@ -279,10 +279,14 @@ class BBDMRunner(DiffusionBaseRunner):
             x_names = test_batch["x_name"]
             cond_names = test_batch["x_cond_name"]
             batch_size = x.shape[0]
+            # dispatch every per-input sample up front (async), so the device
+            # computes sample j+1 while the host PNG-encodes sample j
+            device_samples = [
+                self._sample_fn(params, self.next_rng(), x_cond, self.state.latent_stats)
+                for _ in range(sample_num)
+            ]
             for j in range(sample_num):
-                sample = np.asarray(
-                    self._sample_fn(params, self.next_rng(), x_cond, self.state.latent_stats)
-                )
+                sample = np.asarray(device_samples[j])
                 for i in range(batch_size):
                     if j == 0:
                         save_single_image(
