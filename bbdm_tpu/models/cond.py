@@ -51,3 +51,22 @@ class SpatialRescaler(nn.Module):
             bias=cond_params.get("bias", False),
             dtype=dtype,
         )
+
+
+class ClassEmbedder(nn.Module):
+    """Class-label embedding conditioner (reference
+    `encoders/modules.py:21-33`): an embedding table keyed by an integer label
+    batch, returned as a [B, 1, embed_dim] context sequence for cross-attention.
+    (The reference's BERT/transformer text embedders sit on its dead
+    x_transformer path, SURVEY.md §2.2, and are intentionally not rebuilt.)
+    """
+
+    embed_dim: int
+    n_classes: int = 1000
+
+    @nn.compact
+    def __call__(self, labels):
+        emb = nn.Embed(self.n_classes, self.embed_dim,
+                       embedding_init=nn.initializers.normal(1.0),
+                       name="embedding")(labels.astype(jnp.int32))
+        return emb[:, None, :]

@@ -82,6 +82,7 @@ def main():
         "unit": "samples/sec/chip",
         "vs_baseline": round(vs_baseline, 3),
         "detail": {
+            "device_kind": jax.devices()[0].device_kind,
             "flops_per_sample": flops_per_sample,
             "achieved_tflops": round(achieved / 1e12, 1),
             "ref_est_samples_per_sec_a100_tf32": round(ref_est, 3),

@@ -112,3 +112,26 @@ def test_init_scheme_reference_has_nonzero_head():
     assert float(jnp.abs(p_zero["out_conv"]["kernel"]).sum()) == 0
     # attention proj_out is a 'Conv1d' in the reference: zero in both schemes
     assert float(jnp.abs(p_ref["mid_attn"]["proj_out"]["kernel"]).sum()) == 0
+
+
+def test_class_embedder_shape_and_grad():
+    """ClassEmbedder (reference encoders/modules.py:21-33): [B] labels ->
+    [B, 1, embed_dim] context; embedding rows receive gradient."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bbdm_tpu.models.cond import ClassEmbedder
+
+    emb = ClassEmbedder(embed_dim=16, n_classes=10)
+    labels = jnp.asarray([0, 3, 9])
+    variables = emb.init(jax.random.PRNGKey(0), labels)
+    out = emb.apply(variables, labels)
+    assert out.shape == (3, 1, 16)
+
+    grads = jax.grad(
+        lambda p: (emb.apply({"params": p}, labels) ** 2).sum()
+    )(variables["params"])
+    g = np.asarray(grads["embedding"]["embedding"])
+    assert np.abs(g[[0, 3, 9]]).sum() > 0
+    assert np.abs(g[[1, 2, 4, 5, 6, 7, 8]]).sum() == 0
