@@ -1,0 +1,88 @@
+"""Training-step throughput on one chip (secondary benchmark; the driver's
+north-star sampling bench is `bench.py`).
+
+Measures the full jitted LBBDM train step — frozen-VQGAN encode of image and
+condition at 256^2, bridge loss on the 64^2 latent, grad, Adam + plateau LR +
+EMA — in images/sec/chip.
+
+    BENCH_BATCH=8 python scripts/bench_train.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/bbdm_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    config_path = os.environ.get("BENCH_CONFIG", "configs/Template-LBBDM-f4.yaml")
+
+    from bbdm_tpu.config import load_config
+    from bbdm_tpu.models import build_model
+    from bbdm_tpu.training import TrainState, make_train_step
+    from bbdm_tpu.training.ema import ema_init
+    from bbdm_tpu.training.optim import build_optimizer
+    from bbdm_tpu.training.plateau import plateau_init
+    from bbdm_tpu.training.state import zeros_like_tree
+
+    config = load_config(config_path)
+    model = build_model(config.model)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    tx = build_optimizer(config.model.BB.optimizer, model.trainable_mask(params))
+    accumulate = config.training.get("accumulate_grad_batches", 1)
+    init_lr = config.model.BB.optimizer.lr
+    state = TrainState(
+        step=jnp.asarray(0, jnp.int32), params=params,
+        ema_params=ema_init(params), opt_state=tx.init(params),
+        plateau=plateau_init(init_lr),
+        grad_accum=zeros_like_tree(params) if accumulate > 1 else None,
+        latent_stats=None,  # identity stats (runner default)
+    )
+    ema_cfg = config.model.EMA if "EMA" in config.model else None
+    train_step = jax.jit(
+        make_train_step(model, tx, config.training, ema_config=ema_cfg,
+                        lr_scheduler_config=config.model.BB.lr_scheduler),
+        donate_argnums=(0,),
+    )
+
+    size = config.data.dataset_config.image_size
+    ch = config.data.dataset_config.get("channels", 3)
+    x = jnp.zeros((batch, size, size, ch), jnp.float32)
+    y = jnp.zeros((batch, size, size, ch), jnp.float32)
+
+    # warmup/compile; float() of the loss scalar is the reliable sync on axon
+    state, metrics = train_step(state, x, y, jax.random.PRNGKey(1))
+    float(metrics["loss"])
+
+    runs = 10
+    t0 = time.perf_counter()
+    for i in range(runs):
+        state, metrics = train_step(state, x, y,
+                                    jax.random.fold_in(jax.random.PRNGKey(2), i))
+    float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / runs
+
+    print(json.dumps({
+        "metric": f"{config.model.model_name} {size}x{size} train step",
+        "value": round(batch / dt, 3),
+        "unit": "images/sec/chip",
+        "detail": {"device_kind": jax.devices()[0].device_kind,
+                   "step_ms": round(dt * 1e3, 2), "batch": batch},
+    }))
+
+
+if __name__ == "__main__":
+    main()
