@@ -11,6 +11,7 @@ let XLA emit a single fused elementwise region after the reduction.
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -39,14 +40,31 @@ def group_norm(
     if C % num_groups != 0:
         raise ValueError(f"channels {C} not divisible by num_groups {num_groups}")
 
+    # TPU layout note: statistics are computed as per-CHANNEL spatial sums
+    # first (keeps the 128-lane channel axis minor — no relayout of the big
+    # tensor), then combined into per-group stats with a tiny [N,C]->[N,G]
+    # reduction. Reshaping the activation itself to (N, HW, G, C/G) and
+    # reducing over the C/G minor axis forces an (8,128)-tile shuffle that
+    # measured ~38% of sampler wall time (BENCH_NOTES.md round-1 profile).
     xf = x.astype(jnp.float32)
     spatial = x.shape[1:-1]
-    g = xf.reshape(N, -1, num_groups, C // num_groups)
-    mean = g.mean(axis=(1, 3), keepdims=True)
-    var = g.var(axis=(1, 3), keepdims=True)
-    g = (g - mean) * jax.lax.rsqrt(var + eps)
-    y = g.reshape(N, *spatial, C)
-    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    red_axes = tuple(range(1, xf.ndim - 1))
+    n_per_group = (C // num_groups) * int(np.prod(spatial))
+    s1 = jnp.sum(xf, axis=red_axes)  # [N, C]
+    s2 = jnp.sum(xf * xf, axis=red_axes)  # [N, C]
+    gs1 = s1.reshape(N, num_groups, C // num_groups).sum(-1)  # [N, G]
+    gs2 = s2.reshape(N, num_groups, C // num_groups).sum(-1)
+    mean_g = gs1 / n_per_group
+    var_g = gs2 / n_per_group - mean_g * mean_g
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    # expand per-group stats to per-channel [N, C] (tiny), fold the affine in:
+    # y = x * (rstd * scale) + (bias - mean * rstd * scale)
+    rstd_c = jnp.repeat(rstd_g, C // num_groups, axis=1)
+    mean_c = jnp.repeat(mean_g, C // num_groups, axis=1)
+    w = rstd_c * scale.astype(jnp.float32)[None, :]
+    b = bias.astype(jnp.float32)[None, :] - mean_c * w
+    bshape_nc = (N,) + (1,) * len(spatial) + (C,)
+    y = xf * w.reshape(bshape_nc) + b.reshape(bshape_nc)
 
     if film_scale is not None:
         bshape = (N,) + (1,) * len(spatial) + (C,)
