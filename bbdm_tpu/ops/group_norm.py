@@ -26,6 +26,38 @@ def group_norm(
     film_scale: jax.Array | None = None,
     film_shift: jax.Array | None = None,
 ) -> jax.Array:
+    """GroupNorm dispatcher.
+
+    Default is the lane-friendly XLA formulation below — measured FASTER than
+    the hand-written Pallas kernel on v5e (3.23 vs 2.85 samples/sec on the
+    200-step bench; XLA's generated stats/normalize fusions beat the
+    pallas_call, whose block boundaries block fusion with neighbors). The
+    Pallas kernel (`ops/group_norm_pallas.py`) stays available behind
+    BBDM_PALLAS_GN=1 for future tuning / other TPU generations.
+    """
+    import os
+
+    if os.environ.get("BBDM_PALLAS_GN") == "1" and jax.default_backend() == "tpu":
+        from bbdm_tpu.ops.group_norm_pallas import eligible, group_norm_pallas
+
+        if eligible(x.shape, num_groups, x.dtype):
+            return group_norm_pallas(x, scale, bias, film_scale, film_shift,
+                                     num_groups, eps, act)
+    return _group_norm_xla(x, scale, bias, num_groups=num_groups, eps=eps,
+                           act=act, film_scale=film_scale, film_shift=film_shift)
+
+
+def _group_norm_xla(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    *,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    act: str | None = None,
+    film_scale: jax.Array | None = None,
+    film_shift: jax.Array | None = None,
+) -> jax.Array:
     """GroupNorm over the channel (last) axis of an NHWC (or N...C) tensor.
 
     y = GN(x) * scale + bias, then optionally

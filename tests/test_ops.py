@@ -121,3 +121,71 @@ class TestResizeGolden:
             torch.from_numpy(b), padding=1,
         ).permute(0, 2, 3, 1).numpy()
         np.testing.assert_allclose(np.asarray(ours), tref, rtol=1e-4, atol=1e-4)
+
+
+class TestGroupNormPallas:
+    """Fused Pallas GroupNorm vs the XLA formulation (interpret mode on CPU)."""
+
+    def _compare(self, act=None, film=False, dtype=jnp.float32, C=128, hw=(8, 8)):
+        import numpy as np
+
+        from bbdm_tpu.ops.group_norm import _group_norm_xla
+        from bbdm_tpu.ops.group_norm_pallas import group_norm_pallas
+
+        rs = np.random.RandomState(0)
+        N, G = 2, 32
+        x = jnp.asarray(rs.randn(N, *hw, C), dtype)
+        scale = jnp.asarray(rs.randn(C), jnp.float32)
+        bias = jnp.asarray(rs.randn(C), jnp.float32)
+        fs = jnp.asarray(rs.randn(N, C) * 0.1, jnp.float32) if film else None
+        fb = jnp.asarray(rs.randn(N, C) * 0.1, jnp.float32) if film else None
+
+        ref = _group_norm_xla(x, scale, bias, num_groups=G, act=act,
+                              film_scale=fs, film_shift=fb)
+        out = group_norm_pallas(x, scale, bias, fs, fb, G, 1e-5, act)
+        assert out.dtype == x.dtype
+        tol = 1e-5 if dtype == jnp.float32 else 2e-2
+        np.testing.assert_allclose(np.asarray(out, jnp.float32),
+                                   np.asarray(ref, jnp.float32),
+                                   atol=tol, rtol=tol)
+
+    def test_plain(self):
+        self._compare()
+
+    def test_silu(self):
+        self._compare(act="silu")
+
+    def test_film_silu(self):
+        self._compare(act="silu", film=True)
+
+    def test_bf16(self):
+        self._compare(act="silu", film=True, dtype=jnp.bfloat16)
+
+    def test_wide_channels_multi_chunk(self):
+        self._compare(act="silu", C=256, hw=(32, 32))
+
+    def test_eligibility(self):
+        from bbdm_tpu.ops.group_norm_pallas import eligible
+
+        assert eligible((8, 64, 64, 512), 32, jnp.bfloat16)
+        assert not eligible((8, 64, 64, 96), 32, jnp.bfloat16)  # C % 128
+        assert not eligible((8, 256, 256, 128), 32, jnp.bfloat16)  # VMEM
+        assert not eligible((8, 32), 32, jnp.bfloat16)  # no spatial
+
+    def test_grad_falls_back_to_xla(self):
+        import numpy as np
+
+        from bbdm_tpu.ops.group_norm import _group_norm_xla
+        from bbdm_tpu.ops.group_norm_pallas import group_norm_pallas
+
+        rs = np.random.RandomState(1)
+        x = jnp.asarray(rs.randn(2, 8, 8, 128), jnp.float32)
+        scale = jnp.ones((128,), jnp.float32)
+        bias = jnp.zeros((128,), jnp.float32)
+
+        g1 = jax.grad(lambda x: (group_norm_pallas(
+            x, scale, bias, None, None, 32, 1e-5, "silu") ** 2).sum())(x)
+        g2 = jax.grad(lambda x: (_group_norm_xla(
+            x, scale, bias, num_groups=32, act="silu") ** 2).sum())(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=1e-4, rtol=1e-4)
