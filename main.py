@@ -78,8 +78,6 @@ def main():
     config = load_config(args.config)
     config = apply_cli_overrides(config, args)
 
-    import jax
-
     # seed note: jax PRNG is explicit — the seed threads through the runner
     runner = get_runner(config.runner, config)
     if args.train:
