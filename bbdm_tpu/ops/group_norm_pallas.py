@@ -62,14 +62,14 @@ def _kernel(x_ref, scale_ref, bias_ref, fs_ref, fb_ref, seg_ref, o_ref,
     HW, C = x_ref.shape[1], x_ref.shape[2]
     nchunks = HW // chunk
 
-    def stats_body(i, carry):
-        s1, s2 = carry
-        xb = x_ref[0, pl.ds(i * chunk, chunk), :].astype(jnp.float32)
-        return (s1 + jnp.sum(xb, axis=0, keepdims=True),
-                s2 + jnp.sum(xb * xb, axis=0, keepdims=True))
-
-    zeros = jnp.zeros((1, C), jnp.float32)
-    s1, s2 = jax.lax.fori_loop(0, nchunks, stats_body, (zeros, zeros))
+    # static (unrolled) chunk loops: Mosaic emits plain vector code for
+    # static slices, where fori_loop+dynamic-slice was measurably slower
+    s1 = jnp.zeros((1, C), jnp.float32)
+    s2 = jnp.zeros((1, C), jnp.float32)
+    for i in range(nchunks):
+        xb = x_ref[0, i * chunk:(i + 1) * chunk, :].astype(jnp.float32)
+        s1 = s1 + jnp.sum(xb, axis=0, keepdims=True)
+        s2 = s2 + jnp.sum(xb * xb, axis=0, keepdims=True)
 
     # per-group stats via the [C, G] one-hot segment matrix (MXU):
     # gs[g] = sum_c in group g; expand back with the transpose.
@@ -96,15 +96,12 @@ def _kernel(x_ref, scale_ref, bias_ref, fs_ref, fb_ref, seg_ref, o_ref,
         w = w * (1.0 + fs)
         b = b * (1.0 + fs) + fb
 
-    def norm_body(i, _):
-        xb = x_ref[0, pl.ds(i * chunk, chunk), :].astype(jnp.float32)
+    for i in range(nchunks):
+        xb = x_ref[0, i * chunk:(i + 1) * chunk, :].astype(jnp.float32)
         y = xb * w + b
         if act == "silu":
             y = y * jax.nn.sigmoid(y)
-        o_ref[0, pl.ds(i * chunk, chunk), :] = y.astype(o_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, nchunks, norm_body, 0)
+        o_ref[0, i * chunk:(i + 1) * chunk, :] = y.astype(o_ref.dtype)
 
 
 def _forward(x, scale, bias, film_scale, film_shift, num_groups, eps, act,

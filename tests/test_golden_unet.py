@@ -28,6 +28,21 @@ REF = "/root/reference"
 def _load_reference_unet(unet_kwargs):
     if REF not in sys.path:
         sys.path.insert(0, REF)
+    if "omegaconf" not in sys.modules:
+        # the reference imports omegaconf.listconfig.ListConfig only for an
+        # isinstance check on context_dim (openaimodel.py:480); stub it
+        import types
+
+        omegaconf = types.ModuleType("omegaconf")
+        listconfig = types.ModuleType("omegaconf.listconfig")
+
+        class ListConfig(list):
+            pass
+
+        listconfig.ListConfig = ListConfig
+        omegaconf.listconfig = listconfig
+        sys.modules["omegaconf"] = omegaconf
+        sys.modules["omegaconf.listconfig"] = listconfig
     from model.BrownianBridge.base.modules.diffusionmodules.openaimodel import (
         UNetModel as TorchUNet,
     )
@@ -118,3 +133,52 @@ def test_unet_timestep_dependence_matches_reference():
             jnp.asarray(ctx.transpose(0, 2, 3, 1)),
         )).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_spatial_transformer_unet_matches_reference():
+    """Cross-attention SpatialTransformer path (use_spatial_transformer=True,
+    reference attention.py:221-264 + openaimodel.py concat+crossattn)."""
+    cfg = tiny_bbdm_config()
+    p = cfg.BB.params.UNetParams
+    p.use_spatial_transformer = True
+    p.context_dim = 3
+    p.transformer_depth = 1
+
+    torch_net = _load_reference_unet(dict(
+        image_size=p.image_size, in_channels=p.in_channels,
+        model_channels=p.model_channels, out_channels=p.out_channels,
+        num_res_blocks=p.num_res_blocks,
+        attention_resolutions=tuple(p.attention_resolutions),
+        channel_mult=tuple(p.channel_mult), conv_resample=p.conv_resample,
+        dims=2, num_heads=p.num_heads, num_head_channels=p.num_head_channels,
+        use_scale_shift_norm=p.use_scale_shift_norm,
+        resblock_updown=p.resblock_updown,
+        use_spatial_transformer=True, transformer_depth=1, context_dim=3,
+        condition_key="concat",
+    ))
+    sd = {f"denoise_fn.{k}": v for k, v in torch_net.state_dict().items()}
+    from bbdm_tpu.checkpoints.torch_import import convert_unet_state_dict
+
+    params = convert_unet_state_dict(sd, p)
+
+    rs = np.random.RandomState(5)
+    x = rs.randn(2, 3, p.image_size, p.image_size).astype(np.float32)
+    ctx = rs.randn(2, 3, p.image_size, p.image_size).astype(np.float32)
+    t = np.array([4, 17], np.int64)
+
+    with torch.no_grad():
+        ref = torch_net(torch.from_numpy(x), timesteps=torch.from_numpy(t),
+                        context=torch.from_numpy(ctx)).numpy()
+
+    from bbdm_tpu.models.unet import UNet
+
+    flax_unet = UNet.from_config(p, condition_key="SpatialRescaler",
+                                 dtype=jnp.float32, init_scheme="reference")
+    out = np.asarray(flax_unet.apply(
+        {"params": params},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(t.astype(np.int32)),
+        jnp.asarray(ctx.transpose(0, 2, 3, 1)),
+    )).transpose(0, 3, 1, 2)
+
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
