@@ -63,7 +63,7 @@ def _kernel(x_ref, scale_ref, bias_ref, fs_ref, fb_ref, seg_ref, o_ref,
     nchunks = HW // chunk
 
     # static (unrolled) chunk loops: Mosaic emits plain vector code for
-    # static slices, where fori_loop+dynamic-slice was measurably slower
+    # static slices, (fori_loop+dynamic-slice and unrolled static slices measure identically here)
     s1 = jnp.zeros((1, C), jnp.float32)
     s2 = jnp.zeros((1, C), jnp.float32)
     for i in range(nchunks):
