@@ -7,10 +7,12 @@ tiny [C,G] segment-matrix matmul (MXU — avoids cross-lane reshapes of the big
 tensor), and streams the normalize+affine+FiLM+SiLU pass back out in the
 input dtype.
 
-Replaces the XLA formulation for the sampler's hot GroupNorms: profiling
-(BENCH_NOTES.md) showed XLA's stats+normalize fusions running ~12x below HBM
-bandwidth even after the lane-friendly reformulation. The fp32-statistics
-contract of the reference's GroupNorm32
+Status: OPT-IN (`BBDM_PALLAS_GN=1`). On v5e the XLA formulation in
+`ops/group_norm.py` measures faster end-to-end (3.25 vs 2.86 samples/sec on
+the 200-step bench — see BENCH_NOTES.md): XLA fuses the stats pass with
+neighboring elementwise producers, which the opaque pallas_call boundary
+forfeits. Kept as the starting point for other TPU generations/shapes. The
+fp32-statistics contract of the reference's GroupNorm32
 (`model/BrownianBridge/base/modules/diffusionmodules/util.py:199-216`) is
 preserved: all arithmetic between load and store is float32.
 
