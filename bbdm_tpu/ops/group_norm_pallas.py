@@ -1,11 +1,11 @@
 """Fused GroupNorm (+FiLM +SiLU) Pallas kernel for TPU.
 
-One HBM read and one HBM write per tensor: each grid program owns one batch
-element's [HW, C] slab in VMEM, accumulates per-channel sum / sum-of-squares
-over row chunks (fp32), folds the chunk sums into per-GROUP statistics with a
-tiny [C,G] segment-matrix matmul (MXU — avoids cross-lane reshapes of the big
-tensor), and streams the normalize+affine+FiLM+SiLU pass back out in the
-input dtype.
+Two-phase tiled pipeline over a (N, 2, n_tiles) grid: phase 0 streams [tile,C]
+blocks through VMEM accumulating per-channel sum / sum-of-squares (fp32) in
+scratch, folds them into per-GROUP statistics with tiny [C,G] segment-matrix
+matmuls (MXU — no cross-lane reshapes of the big tensor), and phase 1 streams
+the normalize+affine+FiLM+SiLU pass back out in the input dtype. Two HBM
+reads + one write per tensor with small, deeply pipelined DMA blocks.
 
 Status: OPT-IN (`BBDM_PALLAS_GN=1`). On v5e the XLA formulation in
 `ops/group_norm.py` measures faster end-to-end (3.25 vs 2.86 samples/sec on
@@ -30,9 +30,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# biggest slab we let one grid program own (bf16 bytes); double-buffered by
-# the pipeline, so stay well under VMEM (~16MB/core)
-_MAX_BLOCK_BYTES = 6 * 1024 * 1024
+# tile sizing: keep per-tile fp32 working set ~2MB so in/out DMA buffers
+# stay far below VMEM (~16MB/core) and the pipeline stays deep
 _CHUNK_TARGET_BYTES = 2 * 1024 * 1024  # fp32 working chunk
 
 
@@ -44,10 +43,7 @@ def eligible(shape, num_groups, dtype) -> bool:
     hw = int(np.prod(shape[1:-1]))
     if C % 128 != 0 or C % num_groups != 0:
         return False
-    if hw % 8 != 0:
-        return False
-    itemsize = jnp.dtype(dtype).itemsize
-    return hw * C * itemsize <= _MAX_BLOCK_BYTES
+    return hw % 8 == 0
 
 
 def _pick_chunk(hw: int, c: int) -> int:
@@ -60,50 +56,65 @@ def _pick_chunk(hw: int, c: int) -> int:
 
 
 def _kernel(x_ref, scale_ref, bias_ref, fs_ref, fb_ref, seg_ref, o_ref,
-            *, groups, act, film, eps, chunk):
-    HW, C = x_ref.shape[1], x_ref.shape[2]
-    nchunks = HW // chunk
+            wb_scratch, *, groups, act, film, eps, hw):
+    """Two-phase tiled kernel.
 
-    # static (unrolled) chunk loops: Mosaic emits plain vector code for
-    # static slices, (fori_loop+dynamic-slice and unrolled static slices measure identically here)
-    s1 = jnp.zeros((1, C), jnp.float32)
-    s2 = jnp.zeros((1, C), jnp.float32)
-    for i in range(nchunks):
-        xb = x_ref[0, i * chunk:(i + 1) * chunk, :].astype(jnp.float32)
-        s1 = s1 + jnp.sum(xb, axis=0, keepdims=True)
-        s2 = s2 + jnp.sum(xb * xb, axis=0, keepdims=True)
+    grid = (N, 2, n_tiles); small (1, tile, C) x/out blocks keep the DMA
+    pipeline deep (the whole-slab variant's in+out double buffers filled VMEM
+    and serialized all transfers — BENCH_NOTES.md). Phase p=0 accumulates
+    per-channel s1/s2 into VMEM scratch across tiles; at the last stats tile
+    the affine (w, b) is folded (group combine via the [C, G] segment-matrix
+    matmuls on the MXU); phase p=1 streams normalize(+FiLM)(+SiLU) out.
+    wb_scratch rows: 0=s1, 1=s2, then 2=w, 3=b.
+    """
+    p = pl.program_id(1)
+    t = pl.program_id(2)
+    n_tiles = pl.num_programs(2)
 
-    # per-group stats via the [C, G] one-hot segment matrix (MXU):
-    # gs[g] = sum_c in group g; expand back with the transpose.
-    seg = seg_ref[:]  # [C, G] f32
-    n_per_group = HW * (C // groups)
-    gs1 = jax.lax.dot_general(s1, seg, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # [1, G]
-    gs2 = jax.lax.dot_general(s2, seg, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    mean_g = gs1 / n_per_group
-    var_g = gs2 / n_per_group - mean_g * mean_g
-    rstd_g = jax.lax.rsqrt(var_g + eps)
-    # expand [1, G] -> [1, C]
-    mean_c = jax.lax.dot_general(mean_g, seg, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-    rstd_c = jax.lax.dot_general(rstd_g, seg, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+    @pl.when(jnp.logical_and(p == 0, t == 0))
+    def _reset():
+        wb_scratch[0:2, :] = jnp.zeros_like(wb_scratch[0:2, :])
 
-    w = rstd_c * scale_ref[:].astype(jnp.float32)
-    b = bias_ref[:].astype(jnp.float32) - mean_c * w
-    if film:
-        fs = fs_ref[0].astype(jnp.float32)  # [1, C]
-        fb = fb_ref[0].astype(jnp.float32)
-        w = w * (1.0 + fs)
-        b = b * (1.0 + fs) + fb
+    @pl.when(p == 0)
+    def _stats():
+        xb = x_ref[0].astype(jnp.float32)  # [tile, C]
+        wb_scratch[0:1, :] += jnp.sum(xb, axis=0, keepdims=True)
+        wb_scratch[1:2, :] += jnp.sum(xb * xb, axis=0, keepdims=True)
 
-    for i in range(nchunks):
-        xb = x_ref[0, i * chunk:(i + 1) * chunk, :].astype(jnp.float32)
-        y = xb * w + b
+    @pl.when(jnp.logical_and(p == 0, t == n_tiles - 1))
+    def _finalize_stats():
+        seg = seg_ref[:]  # [C, G] f32
+        n_per_group = hw * (x_ref.shape[2] // groups)
+        s1 = wb_scratch[0:1, :]
+        s2 = wb_scratch[1:2, :]
+        gs1 = jax.lax.dot_general(s1, seg, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)  # [1, G]
+        gs2 = jax.lax.dot_general(s2, seg, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        mean_g = gs1 / n_per_group
+        var_g = gs2 / n_per_group - mean_g * mean_g
+        rstd_g = jax.lax.rsqrt(var_g + eps)
+        mean_c = jax.lax.dot_general(mean_g, seg, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        rstd_c = jax.lax.dot_general(rstd_g, seg, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        w = rstd_c * scale_ref[:].astype(jnp.float32)
+        b = bias_ref[:].astype(jnp.float32) - mean_c * w
+        if film:
+            fs = fs_ref[0].astype(jnp.float32)  # [1, C]
+            fb = fb_ref[0].astype(jnp.float32)
+            w = w * (1.0 + fs)
+            b = b * (1.0 + fs) + fb
+        wb_scratch[2:3, :] = w
+        wb_scratch[3:4, :] = b
+
+    @pl.when(p == 1)
+    def _normalize():
+        xb = x_ref[0].astype(jnp.float32)
+        y = xb * wb_scratch[2:3, :] + wb_scratch[3:4, :]
         if act == "silu":
             y = y * jax.nn.sigmoid(y)
-        o_ref[0, i * chunk:(i + 1) * chunk, :] = y.astype(o_ref.dtype)
+        o_ref[0] = y.astype(o_ref.dtype)
 
 
 def _forward(x, scale, bias, film_scale, film_shift, num_groups, eps, act,
@@ -119,29 +130,42 @@ def _forward(x, scale, bias, film_scale, film_shift, num_groups, eps, act,
     seg = jnp.asarray(
         np.repeat(np.eye(num_groups, dtype=np.float32), C // num_groups, axis=0)
     )  # [C, G]
-    chunk = _pick_chunk(hw, C)
+    tile = _pick_chunk(hw, C)
+    n_tiles = hw // tile
+
+    x_spec = pl.BlockSpec((1, tile, C), lambda n, p, t: (n, t, 0),
+                          memory_space=pltpu.VMEM)
+    # during the stats phase the out block is pinned to tile 0 so revisits
+    # don't flush a junk write per tile (one junk flush per n, overwritten)
+    o_spec = pl.BlockSpec(
+        (1, tile, C), lambda n, p, t: (n, jnp.where(p == 1, t, 0), 0),
+        memory_space=pltpu.VMEM)
+    fixed = lambda n, p, t: (0, 0)
 
     out = pl.pallas_call(
         functools.partial(_kernel, groups=num_groups, act=act, film=film,
-                          eps=eps, chunk=chunk),
-        grid=(N,),
+                          eps=eps, hw=hw),
+        grid=(N, 2, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, hw, C), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda n: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda n: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, C), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, C), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, num_groups), lambda n: (0, 0), memory_space=pltpu.VMEM),
+            x_spec,
+            pl.BlockSpec((1, C), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda n, p, t: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda n, p, t: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, num_groups), lambda n, p, t: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, hw, C), lambda n: (n, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=o_spec,
         out_shape=jax.ShapeDtypeStruct((N, hw, C), x.dtype),
+        scratch_shapes=[pltpu.VMEM((8, C), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=8 * N * hw * C,
-            bytes_accessed=2 * N * hw * C * x.dtype.itemsize,
+            bytes_accessed=3 * N * hw * C * x.dtype.itemsize,
             transcendentals=N * hw * C if act == "silu" else 0,
         ),
         interpret=interpret,
