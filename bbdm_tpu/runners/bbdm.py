@@ -273,31 +273,43 @@ class BBDMRunner(DiffusionBaseRunner):
         sample_num = self.config.testing.sample_num
         params = self._ema_sample_params()
 
+        # bounded in-flight queue of async device dispatches spanning batch
+        # boundaries: the device never idles during host-side PNG encodes
+        # (JAX dispatch is async; np.asarray on the oldest entry is the sync)
+        from collections import deque
+
+        inflight: deque = deque()
+        max_inflight = max(2, sample_num)
+
+        def drain_one():
+            dev, batch_np, j = inflight.popleft()
+            sample = np.asarray(dev)
+            x, x_cond_np, x_names, cond_names = batch_np
+            for i in range(x.shape[0]):
+                if j == 0:
+                    save_single_image(x_cond_np[i], condition_path,
+                                      f"{cond_names[i]}.png", to_normal=to_normal)
+                    save_single_image(x[i], gt_path, f"{x_names[i]}.png",
+                                      to_normal=to_normal)
+                if sample_num > 1:
+                    result_path_i = make_dir(os.path.join(result_path, x_names[i]))
+                    save_single_image(sample[i], result_path_i,
+                                      f"output_{j}.png", to_normal=to_normal)
+                else:
+                    save_single_image(sample[i], result_path,
+                                      f"{x_names[i]}.png", to_normal=to_normal)
+
         for test_batch in test_loader:
-            x = np.asarray(test_batch["x"])
             x_cond = jnp.asarray(test_batch["x_cond"])
-            x_names = test_batch["x_name"]
-            cond_names = test_batch["x_cond_name"]
-            batch_size = x.shape[0]
-            # dispatch every per-input sample up front (async), so the device
-            # computes sample j+1 while the host PNG-encodes sample j
-            device_samples = [
-                self._sample_fn(params, self.next_rng(), x_cond, self.state.latent_stats)
-                for _ in range(sample_num)
-            ]
+            batch_np = (np.asarray(test_batch["x"]), np.asarray(test_batch["x_cond"]),
+                        test_batch["x_name"], test_batch["x_cond_name"])
             for j in range(sample_num):
-                sample = np.asarray(device_samples[j])
-                for i in range(batch_size):
-                    if j == 0:
-                        save_single_image(
-                            np.asarray(x_cond)[i], condition_path,
-                            f"{cond_names[i]}.png", to_normal=to_normal,
-                        )
-                        save_single_image(x[i], gt_path, f"{x_names[i]}.png", to_normal=to_normal)
-                    if sample_num > 1:
-                        result_path_i = make_dir(os.path.join(result_path, x_names[i]))
-                        save_single_image(sample[i], result_path_i,
-                                          f"output_{j}.png", to_normal=to_normal)
-                    else:
-                        save_single_image(sample[i], result_path,
-                                          f"{x_names[i]}.png", to_normal=to_normal)
+                while len(inflight) >= max_inflight:
+                    drain_one()
+                inflight.append((
+                    self._sample_fn(params, self.next_rng(), x_cond,
+                                    self.state.latent_stats),
+                    batch_np, j,
+                ))
+        while inflight:
+            drain_one()
