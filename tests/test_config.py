@@ -83,3 +83,28 @@ def test_instantiate_from_config():
 def test_instantiate_requires_target():
     with pytest.raises(KeyError):
         instantiate_from_config(dict2namespace({"params": {}}))
+
+
+def test_template_models_build_and_shape_check():
+    """Every shipped template instantiates through build_model, and the
+    sampler's abstract output shape round-trips to the input image shape
+    (eval_shape only — no compute; catches config-schema drift for f8/f16)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bbdm_tpu.models import build_model
+
+    for name, size in (("Template-BBDM", 256), ("Template-LBBDM-f4", 256),
+                       ("Template-LBBDM-f8", 256), ("Template-LBBDM-f16", 256)):
+        cfg = load_config(f"configs/{name}.yaml")
+        cfg.model.BB.params.sample_step = 4
+        model = build_model(cfg.model)
+        params = jax.eval_shape(model.init_params, jax.random.PRNGKey(0))
+        kw = {}
+        if hasattr(model, "encode"):  # latent model takes stats
+            kw["latent_stats"] = None
+        out = jax.eval_shape(
+            lambda p, r, x: model.sample(p, r, x, clip_denoised=False, **kw),
+            params, jax.random.PRNGKey(1),
+            jax.ShapeDtypeStruct((1, size, size, 3), jnp.float32))
+        assert out.shape == (1, size, size, 3), (name, out.shape)
