@@ -317,6 +317,20 @@ class BaseRunner(ABC):
         profile_steps = training.get("profile_steps", 5)
         profiling = False
 
+        # SIGTERM (preemption / cluster manager) routes into the same
+        # emergency-save path as exceptions (SURVEY.md §5: the reference only
+        # catches in-process exceptions, `BaseRunner.py:537-554`)
+        import signal
+
+        def _sigterm(signum, frame):
+            raise KeyboardInterrupt("SIGTERM")
+
+        old_handler = None
+        try:
+            old_handler = signal.signal(signal.SIGTERM, _sigterm)
+        except ValueError:  # not the main thread
+            pass
+
         average_loss = float("nan")
         try:
             for epoch in range(start_epoch, training.n_epochs):
@@ -404,6 +418,9 @@ class BaseRunner(ABC):
             traceback.print_exc()
             if isinstance(e, KeyboardInterrupt):
                 raise
+        finally:
+            if old_handler is not None:
+                signal.signal(signal.SIGTERM, old_handler)
 
     def _save_top_checkpoint(self, average_loss, epoch, model_states, optim_states):
         """Single-slot best-val-loss checkpoint (reference :498-534)."""

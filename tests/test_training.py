@@ -195,3 +195,41 @@ class TestTrainStep:
                         jax.tree_util.tree_leaves(state.params)):
             diff += float(jnp.abs(e - p).sum())
         assert diff > 0  # shadow lags behind live params
+
+
+def test_sigterm_triggers_emergency_save(tmp_path):
+    """SIGTERM during the train loop routes into the emergency checkpoint
+    path (extends the reference's exception-only save, BaseRunner.py:537-554)."""
+    import os
+    import signal
+
+    from bbdm_tpu.registry import get_runner
+    from tests.test_integration import make_aligned_dataset, make_args, make_config
+
+    data = tmp_path / "data"
+    make_aligned_dataset(str(data))
+    cfg = make_config(tmp_path, data, n_epochs=500, save_interval=10_000)
+    cfg.args = make_args(tmp_path / "results")
+    runner = get_runner("BBDMRunner", cfg)
+
+    # deliver SIGTERM to ourselves partway through training via a step hook:
+    # patch the jitted step to fire the signal on call #3
+    calls = {"n": 0}
+    real_step = runner._train_step
+
+    def step_with_signal(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            os.kill(os.getpid(), signal.SIGTERM)
+        return real_step(*a, **kw)
+
+    runner._train_step = step_with_signal
+    import pytest
+
+    with pytest.raises(KeyboardInterrupt):
+        runner.train()
+
+    ckpt = os.path.join(runner.config.result.ckpt_path, "last_model.ckpt")
+    assert os.path.exists(ckpt)
+    # the pre-existing handler is restored
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
