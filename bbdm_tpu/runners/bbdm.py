@@ -203,6 +203,19 @@ class BBDMRunner(DiffusionBaseRunner):
         """Sampling uses EMA weights (reference sample_step applies the shadow)."""
         return self.state.ema_params if self.use_ema else self.state.params
 
+    def _put_sample_batch(self, x_cond):
+        """Shard the conditioning batch over the mesh 'data' axis when it
+        divides evenly (all local chips sample in parallel — the TPU-native
+        analogue of the reference's rank-sharded eval, BaseRunner.py:562-575);
+        otherwise fall back to single-device placement."""
+        from bbdm_tpu.parallel import shard_batch
+
+        x_cond = jnp.asarray(x_cond)
+        n = self.mesh.shape.get("data", 1)
+        if n > 1 and x_cond.shape[0] % n == 0:
+            return shard_batch(self.mesh, x_cond)
+        return x_cond
+
     @functools.cached_property
     def _sample_mid_fn(self):
         clip = self.config.testing.get("clip_denoised", False)
@@ -246,7 +259,7 @@ class BBDMRunner(DiffusionBaseRunner):
         sample = np.asarray(
             self._sample_fn(
                 self._ema_sample_params(), self.next_rng(),
-                jnp.asarray(x_cond), self.state.latent_stats,
+                self._put_sample_batch(x_cond), self.state.latent_stats,
             )
         )
 
@@ -300,7 +313,7 @@ class BBDMRunner(DiffusionBaseRunner):
                                       f"{x_names[i]}.png", to_normal=to_normal)
 
         for test_batch in test_loader:
-            x_cond = jnp.asarray(test_batch["x_cond"])
+            x_cond = self._put_sample_batch(test_batch["x_cond"])
             batch_np = (np.asarray(test_batch["x"]), np.asarray(test_batch["x_cond"]),
                         test_batch["x_name"], test_batch["x_cond_name"])
             for j in range(sample_num):

@@ -79,3 +79,42 @@ def test_data_parallel_grad_equality():
         capture_output=True, text=True, timeout=900, cwd="/root/repo",
     )
     assert "SHARDING-OK" in res.stdout, f"stdout:\n{res.stdout}\nstderr:\n{res.stderr[-3000:]}"
+
+
+def test_sharded_eval_sampling_matches_single_device(tmp_path):
+    """sample_to_eval with the batch sharded over 8 virtual devices produces
+    the same samples as the single-device run (same seed/RNG stream) — the
+    TPU-native analogue of the reference's rank-sharded eval sweep
+    (BaseRunner.py:562-575)."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from bbdm_tpu.registry import get_runner
+    from tests.test_integration import make_aligned_dataset, make_args, make_config
+
+    data = tmp_path / "data"
+    make_aligned_dataset(str(data))
+
+    outs = {}
+    for n_mesh in (1, 8):
+        cfg = make_config(tmp_path, data, mesh_devices=n_mesh)
+        cfg.args = make_args(tmp_path / f"results{n_mesh}", train=False,
+                             sample_to_eval=True)
+        runner = get_runner("BBDMRunner", cfg)
+        runner.test()
+        result = os.path.join(runner.config.result.sample_to_eval_path, "4")
+        imgs = {}
+        for root, _, files in os.walk(result):
+            for f in sorted(files):
+                key = os.path.relpath(os.path.join(root, f), result)
+                imgs[key] = np.asarray(Image.open(os.path.join(root, f)), np.int32)
+        assert imgs, result
+        outs[n_mesh] = imgs
+
+    assert outs[1].keys() == outs[8].keys()
+    for key in outs[1]:
+        # identical RNG stream; uint8 quantization leaves at most off-by-one
+        # from cross-device reduction order
+        assert np.abs(outs[1][key] - outs[8][key]).max() <= 1, key
