@@ -182,3 +182,37 @@ def test_spatial_transformer_unet_matches_reference():
     )).transpose(0, 3, 1, 2)
 
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_spatial_rescaler_matches_reference():
+    """SpatialRescaler bilinear downscale + 1x1 channel map vs the reference
+    (encoders/modules.py:106-134): torch F.interpolate(align_corners=False)
+    == jax.image.resize('bilinear', antialias=False)."""
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from model.BrownianBridge.base.modules.encoders.modules import (
+        SpatialRescaler as TorchSR,
+    )
+
+    from bbdm_tpu.models.cond import SpatialRescaler
+
+    torch.manual_seed(0)
+    ref = TorchSR(n_stages=2, method="bilinear", multiplier=0.5,
+                  in_channels=3, out_channels=5, bias=True).eval()
+
+    rs = np.random.RandomState(3)
+    x = rs.randn(2, 3, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(x)).numpy()
+
+    ours = SpatialRescaler(n_stages=2, method="bilinear", multiplier=0.5,
+                           out_channels=5, bias=True, dtype=jnp.float32)
+    w = ref.channel_mapper.weight.detach().numpy()  # [O,I,1,1]
+    params = {"channel_mapper": {
+        "kernel": w.transpose(2, 3, 1, 0),
+        "bias": ref.channel_mapper.bias.detach().numpy(),
+    }}
+    out = np.asarray(ours.apply({"params": params},
+                                jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(out.transpose(0, 3, 1, 2), out_ref,
+                               atol=1e-5, rtol=1e-5)
