@@ -134,3 +134,74 @@ class TestGumbelGANStep:
             temps.append(float(metrics["temperature"]))
         assert temps[0] > temps[1] > temps[2]  # exponential anneal
         assert temps[0] == pytest.approx(1.0 * np.exp(-0.1), rel=1e-5)
+
+
+def test_gumbel_vqgan_runner_lifecycle(tmp_path):
+    """GumbelVQ through the full VQGANRunner lifecycle: train (temperature
+    anneal) -> checkpoint -> resume -> reconstruction sweep."""
+    import os
+
+    from PIL import Image
+
+    from bbdm_tpu.registry import get_runner
+
+    data = tmp_path / "data"
+    rs = np.random.RandomState(0)
+    for stage in ("train", "val", "test"):
+        d = data / stage
+        d.mkdir(parents=True)
+        for i in range(8):
+            Image.fromarray(rs.randint(0, 255, (16, 16, 3), "uint8")).save(
+                d / f"img_{i}.png")
+
+    cfg = dict2namespace({
+        "runner": "VQGANRunner",
+        "training": {"n_epochs": 1, "n_steps": 100, "save_interval": 1,
+                     "sample_interval": 10, "validation_interval": 1,
+                     "accumulate_grad_batches": 1, "mesh_devices": 1},
+        "testing": {"clip_denoised": False, "sample_num": 1},
+        "data": {
+            "dataset_name": "syn", "dataset_type": "custom_single",
+            "dataset_config": {"dataset_path": str(data), "image_size": 16,
+                               "channels": 3, "to_normal": True, "flip": False},
+            "train": {"batch_size": 8, "shuffle": True},
+            "val": {"batch_size": 8, "shuffle": True},
+            "test": {"batch_size": 8},
+        },
+        "model": {
+            "model_name": "gumbel-tiny", "model_type": "VQGAN",
+            "VQGAN": {"params": {
+                "embed_dim": 3, "n_embed": 32, "quantizer": "gumbel",
+                "kl_weight": 5e-4,
+                "ddconfig": {"double_z": False, "z_channels": 3, "resolution": 16,
+                             "in_channels": 3, "out_ch": 3, "ch": 32,
+                             "ch_mult": (1, 2), "num_res_blocks": 1,
+                             "attn_resolutions": [], "dropout": 0.0}}},
+            "loss": {"disc_start": 0, "disc_weight": 0.5, "codebook_weight": 1.0,
+                     "perceptual_weight": 0.0, "disc_loss": "hinge",
+                     "adaptive_disc_weight": False, "use_actnorm": False,
+                     "disc_ndf": 16, "disc_num_layers": 2,
+                     "temperature_scheduler": {"temp_init": 1.0, "temp_min": 0.5,
+                                               "anneal_rate": 1e-3}},
+            "optimizer": {"lr": 1e-4, "beta1": 0.5},
+        },
+        "args": dict2namespace({
+            "train": True, "sample_to_eval": False, "sample_at_start": False,
+            "save_top": False, "seed": 1, "result_path": str(tmp_path / "results"),
+            "resume_model": None, "resume_optim": None,
+            "max_epoch": None, "max_steps": None, "gpu_ids": "-1",
+            "port": "0", "config": ""}),
+    })
+
+    runner = get_runner("VQGANRunner", cfg)
+    runner.train()
+    ckpt = os.path.join(runner.config.result.ckpt_path, "last_model.ckpt")
+    assert os.path.exists(ckpt)
+
+    cfg2 = cfg.clone()
+    cfg2.model.model_load_path = ckpt
+    cfg2.args.train = False
+    cfg2.args.sample_to_eval = True
+    cfg2.args.result_path = str(tmp_path / "results2")
+    runner2 = get_runner("VQGANRunner", cfg2)
+    runner2.test()
