@@ -15,3 +15,18 @@ def test_dryrun_multichip_4_devices():
     res = subprocess.run([sys.executable, "-c", script], capture_output=True,
                          text=True, timeout=600, cwd="/root/repo")
     assert "dryrun_multichip(4): ok" in res.stdout, res.stderr[-2000:]
+
+
+def test_dryrun_multichip_self_provisions():
+    """The driver calls dryrun_multichip bare on a 1-device host (round-1
+    failure, MULTICHIP_r01.json): the entry must re-exec itself with a
+    virtual CPU mesh. Simulate the 1-device host with a 1-device CPU parent
+    (not the real TPU — one TPU client at a time)."""
+    script = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import __graft_entry__ as g; g.dryrun_multichip(4)"
+    )
+    res = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                         text=True, timeout=600, cwd="/root/repo",
+                         env={"PATH": "/usr/bin:/bin:/usr/local/bin"})
+    assert "dryrun_multichip(4): ok" in res.stdout, res.stderr[-2000:]
