@@ -93,8 +93,9 @@ def lpips_distance(params, net: str, img0, img1):
     f1 = extractor(params, prep(img1))
     total = 0.0
     for k, (a, b) in enumerate(zip(f0, f1)):
-        a = a / jnp.sqrt(jnp.sum(a**2, axis=-1, keepdims=True) + 1e-10)
-        b = b / jnp.sqrt(jnp.sum(b**2, axis=-1, keepdims=True) + 1e-10)
+        # lpips.normalize_tensor: feat / (||feat|| + eps) — eps OUTSIDE sqrt
+        a = a / (jnp.sqrt(jnp.sum(a**2, axis=-1, keepdims=True)) + 1e-10)
+        b = b / (jnp.sqrt(jnp.sum(b**2, axis=-1, keepdims=True)) + 1e-10)
         diff = (a - b) ** 2
         w = params[f"lin_{k}"]["kernel"]  # [C, 1]
         total = total + jnp.einsum("nhwc,co->n", diff, w) / (a.shape[1] * a.shape[2])
