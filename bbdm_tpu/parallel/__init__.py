@@ -6,3 +6,6 @@ from bbdm_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     local_device_count,
 )
+from bbdm_tpu.parallel.distributed import (  # noqa: F401
+    maybe_initialize_distributed,
+)

@@ -33,11 +33,26 @@ def make_mesh(devices=None, model_parallel: int = 1) -> Mesh:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Put array leaves of a batch dict on the mesh, sharded over 'data'."""
+    """Put array leaves of a batch dict on the mesh, sharded over 'data'.
+
+    Multi-host: each process passes its OWN loader shard (the DataLoader
+    already splits the dataset per process, DistributedSampler-style), and
+    the global batch is assembled from the per-process pieces with
+    `jax.make_array_from_process_local_data` — global batch size is
+    process_count * per-host batch_size, matching the reference's DDP
+    semantics where `data.train.batch_size` is per-rank
+    (`/root/reference/runners/BaseRunner.py:345-363`). A plain device_put
+    of host-local data would instead be interpreted as the full global
+    value, silently dropping every other host's samples.
+    """
     sharding = NamedSharding(mesh, P("data"))
+    multihost = jax.process_count() > 1
 
     def put(x):
         if hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1:
+            if multihost:
+                return jax.make_array_from_process_local_data(
+                    sharding, np.asarray(x))
             return jax.device_put(x, sharding)
         return x
 

@@ -416,8 +416,10 @@ class BaseRunner(ABC):
                 self.logger("exception save model success!")
             print("str(e):", str(e))
             traceback.print_exc()
-            if isinstance(e, KeyboardInterrupt):
-                raise
+            # re-raise so the process exits non-zero and schedulers see the
+            # failure (the reference swallows everything but ^C and exits 0
+            # after a crash, `:537-554` — a bad contract for any supervisor)
+            raise
         finally:
             if old_handler is not None:
                 signal.signal(signal.SIGTERM, old_handler)

