@@ -136,6 +136,10 @@ def make_sampling_steps(
         steps = np.clip(np.round(steps).astype(np.int64), 0, T - 1)
         if steps[-1] != 0:
             steps = np.append(steps, 0)
+        # rounding makes consecutive steps collide near both ends; nt == t is
+        # an identity update (A=1, a_x0=a_y=sigma=0), so each duplicate would
+        # be a wasted UNet forward — drop them
+        steps = steps[np.concatenate(([True], np.diff(steps) != 0))]
         return steps
     raise NotImplementedError(f"sample_type {sample_type!r}")
 

@@ -70,22 +70,30 @@ class UNet(nn.Module):
     init_scheme: str = "reference"
     dtype: Any = jnp.bfloat16
 
-    def _heads_for(self, ch: int) -> Tuple[int, int]:
+    def _heads_for(self, ch: int, decoder: bool = False) -> Tuple[int, int]:
         """(num_heads, dim_head) for an attention block at width ch.
 
-        Replicates the legacy head arithmetic of `openaimodel.py:546-565`:
-        with num_head_channels set, heads = ch // num_head_channels.
+        Replicates the legacy head arithmetic of `openaimodel.py:546-565`
+        (encoder/middle) and `:648-666` (decoder): with num_head_channels
+        set, heads = ch // num_head_channels everywhere. With
+        num_head_channels == -1, decoder-side AttentionBlocks use
+        num_heads_upsample (defaulting to num_heads when -1,
+        `openaimodel.py:496-497,659`); SpatialTransformer always uses
+        num_heads.
         """
         if self.num_head_channels == -1:
-            heads, dim_head = self.num_heads, ch // self.num_heads
+            heads = self.num_heads
+            if decoder and not self.use_spatial_transformer and self.num_heads_upsample != -1:
+                heads = self.num_heads_upsample
+            dim_head = ch // heads
         else:
             heads, dim_head = ch // self.num_head_channels, self.num_head_channels
         if self.use_spatial_transformer:
             dim_head = ch // heads
         return heads, dim_head
 
-    def _attention(self, ch: int, name: str):
-        heads, dim_head = self._heads_for(ch)
+    def _attention(self, ch: int, name: str, decoder: bool = False):
+        heads, dim_head = self._heads_for(ch, decoder=decoder)
         if self.use_spatial_transformer:
             return SpatialTransformer(
                 heads=heads, dim_head=dim_head, depth=self.transformer_depth,
@@ -162,7 +170,8 @@ class UNet(nn.Module):
                 h = jnp.concatenate([h, skip], axis=-1)
                 h = res(mult * mc, f"up_{level}_{i}")(h, emb, train)
                 if ds in self.attention_resolutions:
-                    attn = self._attention(h.shape[-1], f"up_{level}_{i}_attn")
+                    attn = self._attention(h.shape[-1], f"up_{level}_{i}_attn",
+                                           decoder=True)
                     h = attn(h, xattn) if self.use_spatial_transformer else attn(h)
                 if level and i == self.num_res_blocks:
                     ch = h.shape[-1]

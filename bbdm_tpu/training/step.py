@@ -66,6 +66,11 @@ def make_train_step(
         def do_update(operand):
             params, opt_state, plateau, g = operand
             updates, new_opt = tx.update(g, opt_state, params)
+            # the CURRENT update uses the pre-transition LR: the reference
+            # calls scheduler.step(loss) after optimizer.step()
+            # (`runners/BaseRunner.py:413-417`), so a plateau-triggered drop
+            # only takes effect from the next update
+            lr = plateau.lr
             if sched is not None:
                 plateau = plateau_step(
                     plateau, loss,
@@ -73,7 +78,6 @@ def make_train_step(
                     threshold=sched.threshold, cooldown=sched.cooldown,
                     min_lr=sched.min_lr,
                 )
-            lr = plateau.lr
             updates = jax.tree_util.tree_map(
                 lambda u: (-lr * u.astype(jnp.float32)).astype(u.dtype), updates
             )

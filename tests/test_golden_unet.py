@@ -216,3 +216,44 @@ def test_spatial_rescaler_matches_reference():
                                 jnp.asarray(x.transpose(0, 2, 3, 1))))
     np.testing.assert_allclose(out.transpose(0, 3, 1, 2), out_ref,
                                atol=1e-5, rtol=1e-5)
+
+
+def test_num_heads_upsample_matches_reference():
+    """Decoder attention honors num_heads_upsample when num_head_channels=-1
+    (reference openaimodel.py:496-497,659; ADVICE r1)."""
+    cfg = tiny_bbdm_config()
+    p = cfg.BB.params.UNetParams
+    p.num_heads = 4
+    p.num_head_channels = -1
+    p.num_heads_upsample = 2
+
+    torch_net = _load_reference_unet(dict(
+        image_size=p.image_size, in_channels=p.in_channels,
+        model_channels=p.model_channels, out_channels=p.out_channels,
+        num_res_blocks=p.num_res_blocks,
+        attention_resolutions=tuple(p.attention_resolutions),
+        channel_mult=tuple(p.channel_mult), conv_resample=p.conv_resample,
+        dims=2, num_heads=p.num_heads, num_head_channels=-1,
+        num_heads_upsample=2,
+        use_scale_shift_norm=p.use_scale_shift_norm,
+        resblock_updown=p.resblock_updown,
+        use_spatial_transformer=False, condition_key="concat",
+    ))
+    sd = {f"denoise_fn.{k}": v for k, v in torch_net.state_dict().items()}
+    params = convert_unet_state_dict(sd, p)
+
+    rs = np.random.RandomState(5)
+    x = rs.randn(2, 3, p.image_size, p.image_size).astype(np.float32)
+    ctx = rs.randn(2, 3, p.image_size, p.image_size).astype(np.float32)
+    t = np.array([1, 17], np.int64)
+    with torch.no_grad():
+        ref = torch_net(torch.from_numpy(x), timesteps=torch.from_numpy(t),
+                        context=torch.from_numpy(ctx)).numpy()
+    flax_unet = UNet.from_config(p, condition_key="SpatialRescaler",
+                                 dtype=jnp.float32, init_scheme="reference")
+    out = np.asarray(flax_unet.apply(
+        {"params": params},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t.astype(np.int32)),
+        jnp.asarray(ctx.transpose(0, 2, 3, 1)),
+    )).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)

@@ -101,3 +101,12 @@ def test_eta_zero_is_deterministic():
     steps = make_sampling_steps(100, True, "linear", 10)
     c = make_sampler_coeffs(100, "linear", 1.0, steps, eta=0.0)
     assert np.all(c.sigma == 0)
+
+
+def test_cosine_grid_has_no_duplicate_steps():
+    """np.round of a cosine grid collides near both ends; duplicates are
+    identity sampler steps (wasted UNet forwards) and must be dropped
+    (ADVICE r1)."""
+    steps = make_sampling_steps(1000, True, "cosine", 200)
+    assert (np.diff(steps) < 0).all(), "grid must be strictly decreasing"
+    assert steps[0] == 999 and steps[-1] == 0

@@ -265,3 +265,35 @@ def test_vqgan_resblock_numeric_golden():
     block = VQResnetBlock(out_channels=C, dtype=jnp.float32)
     ours = block.apply({"params": params}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_vqgan_import_gumbel_quantize_keys():
+    """GumbelVQ torch checkpoints carry quantize.proj.{weight,bias} (1x1 conv)
+    + quantize.embed.weight; the converter must map all three (not fold every
+    quantize.* key onto the codebook) and reject unknown quantize keys
+    (ADVICE r1)."""
+    import numpy as np
+
+    from bbdm_tpu.checkpoints.torch_import import convert_vqgan_state_dict
+
+    n_e, z_ch, e_dim = 16, 4, 8
+    rs = np.random.RandomState(0)
+    sd = {
+        "quantize.proj.weight": rs.randn(n_e, z_ch, 1, 1).astype(np.float32),
+        "quantize.proj.bias": rs.randn(n_e).astype(np.float32),
+        "quantize.embed.weight": rs.randn(n_e, e_dim).astype(np.float32),
+    }
+    out = convert_vqgan_state_dict(sd)
+    q = out["quantize"]
+    assert q["embedding"].shape == (n_e, e_dim)
+    np.testing.assert_array_equal(q["embedding"], sd["quantize.embed.weight"])
+    # conv OIHW -> HWIO
+    assert q["proj"]["kernel"].shape == (1, 1, z_ch, n_e)
+    np.testing.assert_array_equal(
+        q["proj"]["kernel"][0, 0], sd["quantize.proj.weight"][:, :, 0, 0].T)
+    np.testing.assert_array_equal(q["proj"]["bias"], sd["quantize.proj.bias"])
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unmatched"):
+        convert_vqgan_state_dict({"quantize.used": np.zeros(3, np.float32)})

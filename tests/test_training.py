@@ -266,3 +266,51 @@ def test_midtrain_exception_saves_and_reraises(tmp_path):
     ckpt_dir = runner.config.result.ckpt_path
     assert os.path.exists(os.path.join(ckpt_dir, "last_model.ckpt"))
     assert os.path.exists(os.path.join(ckpt_dir, "last_optim_sche.ckpt"))
+
+
+def test_plateau_drop_applies_from_next_update():
+    """The reference calls scheduler.step(loss) AFTER optimizer.step()
+    (BaseRunner.py:413-417): a plateau-triggered LR drop must not affect the
+    update that triggered it (ADVICE r1)."""
+    from bbdm_tpu.training import TrainState, make_train_step
+    from bbdm_tpu.training.plateau import plateau_init
+
+    class _ConstLossUnitGrad:
+        # loss value is always 1.0 (plateaus immediately) but grad == 1, so
+        # each update moves w by exactly -lr
+        def loss(self, params, rng, x, y):
+            s = params["w"].sum()
+            return s - jax.lax.stop_gradient(s) + 1.0, {}
+
+    tx = optax.identity()  # update == grad -> delta_w == -lr
+    training = dict2namespace({"accumulate_grad_batches": 1})
+    sched = dict2namespace({"factor": 0.5, "patience": 0, "threshold": 0.0,
+                            "cooldown": 0, "min_lr": 1e-8})
+    step_fn = jax.jit(make_train_step(_ConstLossUnitGrad(), tx, training,
+                                      lr_scheduler_config=sched))
+    params = {"w": jnp.ones((1,), jnp.float32)}
+    state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                       ema_params=None, opt_state=tx.init(params),
+                       plateau=plateau_init(1.0), grad_accum=None)
+    x = y = jnp.zeros((1, 1))
+    rng = jax.random.PRNGKey(0)
+
+    def w(s):
+        return float(s.params["w"][0])
+
+    # step 1: loss 1.0 improves on inf -> no drop; update at lr=1.0
+    w0 = w(state)
+    state, m1 = step_fn(state, x, y, rng)
+    assert w0 - w(state) == pytest.approx(1.0)
+    assert float(m1["lr"]) == pytest.approx(1.0)
+    # step 2: plateau fires (patience 0) -> lr halves for FUTURE updates,
+    # but this update still moves by the pre-drop lr 1.0
+    w1 = w(state)
+    state, m2 = step_fn(state, x, y, rng)
+    assert w1 - w(state) == pytest.approx(1.0)
+    assert float(m2["lr"]) == pytest.approx(0.5)
+    # step 3: moves by 0.5, and the next drop is again deferred
+    w2 = w(state)
+    state, m3 = step_fn(state, x, y, rng)
+    assert w2 - w(state) == pytest.approx(0.5)
+    assert float(m3["lr"]) == pytest.approx(0.25)
