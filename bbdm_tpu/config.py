@@ -137,4 +137,10 @@ def apply_cli_overrides(config: ConfigNode, args) -> ConfigNode:
         config.training.n_epochs = args.max_epoch
     if getattr(args, "max_steps", None) is not None:
         config.training.n_steps = args.max_steps
+    # --gpu_ids "0,2" selects a local-device subset for the mesh (the
+    # reference spawns one DDP process per listed GPU, `main.py:100-104`);
+    # "-1" (CPU) and the default "0" keep all discovered devices
+    gpu_ids = getattr(args, "gpu_ids", None)
+    if gpu_ids and gpu_ids not in ("-1", "0"):
+        config.training.mesh_device_ids = [int(i) for i in gpu_ids.split(",")]
     return config

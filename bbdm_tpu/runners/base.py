@@ -75,9 +75,17 @@ class BaseRunner(ABC):
             jax.config.update("jax_debug_nans", True)
 
         # mesh + model + state; training.mesh_devices caps the data-parallel
-        # width (default: all local devices)
+        # width (default: all local devices); training.mesh_device_ids (set
+        # by --gpu_ids, the reference's per-GPU process list) picks a subset
+        mesh_ids = config.training.get("mesh_device_ids", None)
         n_mesh = config.training.get("mesh_devices", None)
-        devices = jax.devices()[:n_mesh] if n_mesh else None
+        if mesh_ids:
+            all_devices = jax.devices()
+            devices = [all_devices[i] for i in mesh_ids]
+        elif n_mesh:
+            devices = jax.devices()[:n_mesh]
+        else:
+            devices = None
         self.mesh = make_mesh(devices)
         self.rng = jax.random.PRNGKey(config.args.seed)
         self.model = self.initialize_model(config)

@@ -7,7 +7,8 @@
 Deviations (TPU-native):
   * --gpu_ids: JAX discovers all local TPU chips automatically and trains
     data-parallel over a device mesh; `--gpu_ids -1` forces the CPU backend,
-    any other value is accepted for script compatibility and ignored.
+    and `--gpu_ids 0,2` restricts the mesh to that local-device subset (the
+    reference spawns one DDP process per listed GPU, main.py:100-104).
   * --port: accepted, unused (no NCCL rendezvous; multi-host initialization is
     `jax.distributed.initialize()` driven by the TPU runtime environment).
 """
@@ -35,7 +36,9 @@ def parse_args():
                         help="save top loss checkpoint")
 
     parser.add_argument("--gpu_ids", type=str, default="0",
-                        help="compat flag: -1 forces CPU; otherwise all local TPU chips are used")
+                        help="-1 forces CPU; a comma list (e.g. 0,2) restricts "
+                             "the mesh to that local-device subset; default uses "
+                             "all local TPU chips")
     parser.add_argument("--port", type=str, default="12355", help="compat flag (unused)")
 
     parser.add_argument("--resume_model", type=str, default=None, help="model checkpoint")
