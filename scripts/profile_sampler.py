@@ -129,6 +129,13 @@ def main():
     for cat, ps in bycat.most_common(16):
         print(f"  {ps / 1e9:9.1f} ms ({100 * ps / total:4.1f}%) x{ccat[cat]:7d}  {cat}")
 
+    top_n = int(os.environ.get("BBDM_PROF_TOP", "0"))
+    if top_n:
+        print(f"\ntop {top_n} individual ops by self-time:")
+        for mid, ps in sorted(self_ps.items(), key=lambda kv: -kv[1])[:top_n]:
+            name = ev_names.get(mid, "?")
+            print(f"  {ps / 1e9:9.1f} ms x{counts[mid]:6d}  {name[:110]}")
+
 
 if __name__ == "__main__":
     main()
