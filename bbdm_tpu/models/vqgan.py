@@ -93,10 +93,14 @@ class VQUpsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = upsample_nearest_2x(x)
         if self.with_conv:
-            x = _conv(x.shape[-1], 3, padding=1, dtype=self.dtype, name="conv")(x)
-        return x
+            # fused subpixel upsample+conv (ops/upsample_conv.py) — exact,
+            # ~2.2x fewer FLOPs, param tree identical to the naive conv
+            from bbdm_tpu.models.layers import UpsampleConv3x3
+
+            return UpsampleConv3x3(x.shape[-1], init=_init, dtype=self.dtype,
+                                   name="conv")(x)
+        return upsample_nearest_2x(x)
 
 
 class VQEncoder(nn.Module):

@@ -72,6 +72,19 @@ def _group_norm_xla(
     if C % num_groups != 0:
         raise ValueError(f"channels {C} not divisible by num_groups {num_groups}")
 
+    # Experiment knob (BENCH_NOTES round 2): the conv+GN-stat output fusions at
+    # small channel counts run far below both the MXU and HBM floors (128ch@64²:
+    # 0.30 ms vs 0.05 ms compute / 0.02 ms bandwidth) — suspicion is that the
+    # fp32 reduce epilogue forces the producing conv onto a slow emitter path.
+    # BBDM_GN_SPLIT_STATS=<thresh> puts an optimization_barrier in front of the
+    # statistics reads for C <= thresh, splitting the stats reduce into its own
+    # kernel so the producer compiles with a pure elementwise epilogue (one
+    # extra HBM read of the activation).
+    import os
+
+    _split = int(os.environ.get("BBDM_GN_SPLIT_STATS", "0"))
+    stats_x = jax.lax.optimization_barrier(x) if C <= _split else x
+
     # TPU layout note: statistics are computed as per-CHANNEL spatial sums
     # first (keeps the 128-lane channel axis minor — no relayout of the big
     # tensor), then combined into per-group stats with a tiny [N,C]->[N,G]
@@ -82,8 +95,9 @@ def _group_norm_xla(
     spatial = x.shape[1:-1]
     red_axes = tuple(range(1, xf.ndim - 1))
     n_per_group = (C // num_groups) * int(np.prod(spatial))
-    s1 = jnp.sum(xf, axis=red_axes)  # [N, C]
-    s2 = jnp.sum(xf * xf, axis=red_axes)  # [N, C]
+    sf = stats_x.astype(jnp.float32)
+    s1 = jnp.sum(sf, axis=red_axes)  # [N, C]
+    s2 = jnp.sum(sf * sf, axis=red_axes)  # [N, C]
     gs1 = s1.reshape(N, num_groups, C // num_groups).sum(-1)  # [N, G]
     gs2 = s2.reshape(N, num_groups, C // num_groups).sum(-1)
     mean_g = gs1 / n_per_group

@@ -189,3 +189,49 @@ class TestGroupNormPallas:
             x, scale, bias, num_groups=32, act="silu") ** 2).sum())(x)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    atol=1e-4, rtol=1e-4)
+
+
+class TestUpsampleConv:
+    """Fused nearest-2x-upsample + conv3x3 (ops/upsample_conv.py) must equal
+    the naive path exactly (fp32) — it replaces the reference's
+    conv3x3(nearest_upsample_2x(x)) in ResBlock-up / Upsample / VQUpsample."""
+
+    def _naive(self, x, w, b):
+        from bbdm_tpu.models.layers import upsample_nearest_2x
+
+        up = upsample_nearest_2x(x)
+        out = jax.lax.conv_general_dilated(
+            up, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out + b
+
+    @pytest.mark.parametrize("shape", [(2, 8, 8, 16, 24), (1, 5, 7, 8, 8),
+                                       (3, 16, 16, 32, 32), (1, 1, 1, 4, 4)])
+    def test_matches_naive_fp32(self, shape):
+        import numpy as np
+
+        from bbdm_tpu.ops.upsample_conv import upsample2x_conv3x3
+
+        N, H, W, ci, co = shape
+        rs = np.random.RandomState(0)
+        x = jnp.asarray(rs.randn(N, H, W, ci), jnp.float32)
+        w = jnp.asarray(rs.randn(3, 3, ci, co) * 0.1, jnp.float32)
+        b = jnp.asarray(rs.randn(co), jnp.float32)
+        ref = self._naive(x, w, b)
+        got = upsample2x_conv3x3(x, w, b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+
+    def test_gradients_match(self):
+        import numpy as np
+
+        from bbdm_tpu.ops.upsample_conv import upsample2x_conv3x3
+
+        rs = np.random.RandomState(1)
+        x = jnp.asarray(rs.randn(2, 6, 6, 8), jnp.float32)
+        w = jnp.asarray(rs.randn(3, 3, 8, 8) * 0.1, jnp.float32)
+        b = jnp.zeros((8,), jnp.float32)
+        g1 = jax.grad(lambda w: (upsample2x_conv3x3(x, w, b) ** 2).sum())(w)
+        g2 = jax.grad(lambda w: (self._naive(x, w, b) ** 2).sum())(w)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=1e-3, rtol=1e-4)
