@@ -76,7 +76,7 @@ class BrownianBridgeModel:
 
     # ---------------------------------------------------------------- params
 
-    def init_params(self, rng) -> dict:
+    def _unet_init_args(self):
         H = self.image_size
         x = jnp.zeros((1, H, H, self.channels), jnp.float32)
         t = jnp.zeros((1,), jnp.int32)
@@ -84,8 +84,39 @@ class BrownianBridgeModel:
         if self.condition_key != "nocond":
             ctx_ch = self.unet.in_channels - self.channels
             ctx = jnp.zeros((1, H, H, ctx_ch), jnp.float32)
+        return x, t, ctx
+
+    def init_params(self, rng) -> dict:
+        x, t, ctx = self._unet_init_args()
         variables = self.unet.init(rng, x, t, ctx)
         return {"unet": variables["params"]}
+
+    def _subpixel_structure(self):
+        """Shape-only tree of the UNet's "subpixel" collection (the paths of
+        the UpsampleConv3x3 pre-combined kernels), discovered abstractly."""
+        if not hasattr(self, "_subpixel_struct"):
+            x, t, ctx = self._unet_init_args()
+            shapes = jax.eval_shape(self.unet.init, jax.random.PRNGKey(0), x, t, ctx)
+            self._subpixel_struct = shapes.get("subpixel")
+        return self._subpixel_struct
+
+    def _subpixel_collection(self, unet_params):
+        """Precompute every UpsampleConv3x3 phase-combined kernel from the 3x3
+        params (fp32 combine). Returns the "subpixel" collection tree or None."""
+        from bbdm_tpu.ops.upsample_conv import combine_kernel_2x2
+
+        struct = self._subpixel_structure()
+        if not struct:
+            return None
+
+        def build(s_node, p_node):
+            return {
+                k: combine_kernel_2x2(p_node["kernel"]) if k == "kernel2"
+                else build(v, p_node[k])
+                for k, v in s_node.items()
+            }
+
+        return build(struct, unet_params)
 
     def trainable_mask(self, params) -> dict:
         """Pytree mask of trainable leaves (everything, for pixel BBDM)."""
@@ -94,7 +125,10 @@ class BrownianBridgeModel:
     # ----------------------------------------------------------------- math
 
     def denoise(self, params, x_t, t, context):
-        return self.unet.apply({"params": params["unet"]}, x_t, t, context)
+        variables = {"params": params["unet"]}
+        if "unet_subpixel" in params:  # hoisted combine (p_sample_loop)
+            variables["subpixel"] = params["unet_subpixel"]
+        return self.unet.apply(variables, x_t, t, context)
 
     def q_sample(self, x0, y, t, noise):
         """Forward bridge draw + training objective (reference `:128-146`)."""
@@ -182,6 +216,12 @@ class BrownianBridgeModel:
             context = None
         elif context is None:
             context = y
+
+        # Hoist the UpsampleConv3x3 phase-kernel combine out of the scan:
+        # computed here once (fp32) instead of per step inside the loop.
+        sub = self._subpixel_collection(params["unet"])
+        if sub is not None:
+            params = dict(params, unet_subpixel=sub)
 
         # Pre-cast matmul/conv kernels to the compute dtype once, outside the
         # scan: flax casts params at use (per step), which reads the fp32

@@ -28,7 +28,7 @@ from flax import linen as nn
 
 from bbdm_tpu.ops.attention import multi_head_attention
 from bbdm_tpu.ops.group_norm import group_norm
-from bbdm_tpu.ops.upsample_conv import upsample2x_conv3x3
+from bbdm_tpu.ops.upsample_conv import combine_kernel_2x2, upsample2x_conv3x3
 
 Dtype = Any
 
@@ -131,7 +131,19 @@ class UpsampleConv3x3(nn.Module):
         kernel = self.param("kernel", self.init, (3, 3, ci, self.out_channels),
                             jnp.float32)
         bias = self.param("bias", zeros_init, (self.out_channels,), jnp.float32)
-        return upsample2x_conv3x3(x, kernel, bias, dtype=self.dtype)
+        # The phase-combined [2,2,ci,4co] kernel lives in the optional
+        # "subpixel" collection so samplers can precompute it ONCE outside
+        # their scan (models/bridge.py p_sample_loop) instead of re-deriving
+        # it from the 3x3 params every step. Declared at init so callers can
+        # discover the paths; absent collection -> combine in-call (training).
+        combined = None
+        if self.is_initializing():
+            self.variable("subpixel", "kernel2",
+                          lambda: combine_kernel_2x2(kernel))
+        elif self.has_variable("subpixel", "kernel2"):
+            combined = self.get_variable("subpixel", "kernel2")
+        return upsample2x_conv3x3(x, kernel, bias, dtype=self.dtype,
+                                  combined=combined)
 
 
 class Upsample(nn.Module):

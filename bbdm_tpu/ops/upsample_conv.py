@@ -60,15 +60,18 @@ def combine_kernel_2x2(w: jax.Array) -> jax.Array:
 
 
 def upsample2x_conv3x3(x: jax.Array, w: jax.Array, b: jax.Array | None,
-                       *, dtype=None) -> jax.Array:
+                       *, dtype=None, combined: jax.Array | None = None) -> jax.Array:
     """Exactly ``conv3x3(pad=1)(nearest_upsample_2x(x))`` at ~2.2x fewer FLOPs.
 
     x: [N, H, W, ci] NHWC; w: [3, 3, ci, co] HWIO; b: [co] or None.
+    ``combined``: optional pre-combined [2,2,ci,4co] kernel (combine_kernel_2x2)
+    — pass it when the caller can hoist the combine out of a sampling scan so
+    it isn't recomputed every step (models/bridge.py p_sample_loop).
     Returns [N, 2H, 2W, co].
     """
     N, H, W, ci = x.shape
     co = w.shape[-1]
-    k = combine_kernel_2x2(w)
+    k = combine_kernel_2x2(w) if combined is None else combined
     if dtype is not None:
         x = x.astype(dtype)
         k = k.astype(dtype)

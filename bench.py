@@ -62,6 +62,17 @@ def main():
     x_cond = jnp.zeros((batch, 256, 256, 3), jnp.float32)
     rng = jax.random.PRNGKey(1)
 
+    # Optional XLA compiler-option sweep knob, e.g.
+    #   BBDM_XLA_OPTS="xla_tpu_scoped_vmem_limit_kib=65536,..." python bench.py
+    # Options ride PJRT CompileOptions, so they reach the TPU compiler even
+    # through the axon tunnel (XLA_FLAGS does NOT: tpu flags are unknown to
+    # the client-side parser and abort the process).
+    if os.environ.get("BBDM_XLA_OPTS"):
+        opts = dict(kv.split("=", 1)
+                    for kv in os.environ["BBDM_XLA_OPTS"].split(","))
+        compiled = fn.lower(params, rng, x_cond).compile(compiler_options=opts)
+        fn = lambda *a: compiled(*a)  # noqa: E731
+
     # FLOPs per sampled image (UNet x sample_step + VQGAN encode/decode)
     from bbdm_tpu.utils.flops import sampling_flops_per_image
 

@@ -1,12 +1,18 @@
-"""XLA flag sweep for the sampling bench (VERDICT r1 next-step #4).
+"""XLA compiler-option sweep for the sampling bench.
 
-Runs bench.py in a fresh subprocess per flag set (serially — one TPU client
-at a time) and prints a ranking. Default BENCH_STEPS=50 keeps per-config
-compile time tolerable while preserving the per-step cost that dominates the
-200-step north-star; confirm the winner at 200 steps afterwards.
+TPU-specific flags CANNOT go through XLA_FLAGS here: the axon tunnel's
+client-side XLA build doesn't know libtpu flags and aborts on them
+("Unknown flag in XLA_FLAGS"). Options must ride PJRT CompileOptions —
+bench.py's BBDM_XLA_OPTS knob does that via jit(...).lower().compile(
+compiler_options=...), which the remote compile service validates (a bogus
+option is rejected with HTTP 500, so accepted options provably reach the
+real compiler).
+
+Runs bench.py in a fresh subprocess per option set (serially — one TPU
+client at a time) and prints a ranking.
 
     python scripts/bench_flags.py
-    BENCH_STEPS=200 python scripts/bench_flags.py   # full-length confirm
+    BENCH_STEPS=50 python scripts/bench_flags.py   # quicker per-config runs
 """
 
 from __future__ import annotations
@@ -18,20 +24,18 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-FLAG_SETS = {
+OPTION_SETS = {
     "baseline": "",
-    "latency_hiding": "--xla_tpu_enable_latency_hiding_scheduler=true",
-    "scoped_vmem_64m": "--xla_tpu_scoped_vmem_limit_kib=65536",
-    "lhs+vmem": ("--xla_tpu_enable_latency_hiding_scheduler=true "
-                 "--xla_tpu_scoped_vmem_limit_kib=65536"),
+    "scoped_vmem_64m": "xla_tpu_scoped_vmem_limit_kib=65536",
+    "scoped_vmem_32m": "xla_tpu_scoped_vmem_limit_kib=32768",
+    "latency_hiding": "xla_tpu_enable_latency_hiding_scheduler=true",
 }
 
 
-def run(name, flags):
+def run(name, opts):
     env = dict(os.environ)
-    if flags:
-        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
-    env.setdefault("BENCH_STEPS", "50")
+    if opts:
+        env["BBDM_XLA_OPTS"] = opts
     res = subprocess.run([sys.executable, "bench.py"], cwd=REPO, env=env,
                          capture_output=True, text=True, timeout=3600)
     line = None
@@ -51,12 +55,12 @@ def run(name, flags):
 
 def main():
     results = {}
-    for name, flags in FLAG_SETS.items():
-        d = run(name, flags)
+    for name, opts in OPTION_SETS.items():
+        d = run(name, opts)
         if d:
             results[name] = d["value"]
     ranked = sorted(results.items(), key=lambda kv: -kv[1])
-    print(json.dumps({"steps": os.environ.get("BENCH_STEPS", "50"),
+    print(json.dumps({"steps": os.environ.get("BENCH_STEPS", "200"),
                       "ranking": ranked}))
 
 
