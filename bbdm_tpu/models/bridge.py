@@ -102,16 +102,33 @@ class BrownianBridgeModel:
 
     def _subpixel_collection(self, unet_params):
         """Precompute every UpsampleConv3x3 phase-combined kernel from the 3x3
-        params (fp32 combine). Returns the "subpixel" collection tree or None."""
+        params (fp32 combine). Returns the "subpixel" collection tree or None.
+
+        With BBDM_PALLAS_SUBPIX=1 on TPU the kernels are additionally
+        rearranged to the [4,2,2,ci,co] per-phase layout consumed by the
+        Pallas interleaved-write kernel (ops/subpixel_pallas.py); the
+        5-D shape is what opts the conv into that path."""
+        import os
+
+        from bbdm_tpu.ops.subpixel_pallas import arrange_phase_kernel
         from bbdm_tpu.ops.upsample_conv import combine_kernel_2x2
 
         struct = self._subpixel_structure()
         if not struct:
             return None
+        use_pallas = (os.environ.get("BBDM_PALLAS_SUBPIX") == "1"
+                      and jax.default_backend() == "tpu")
+
+        def leaf(kernel):
+            k2 = combine_kernel_2x2(kernel)
+            ci, co = kernel.shape[2], kernel.shape[3]
+            if use_pallas and ci % 128 == 0 and co % 128 == 0:
+                return arrange_phase_kernel(k2)
+            return k2
 
         def build(s_node, p_node):
             return {
-                k: combine_kernel_2x2(p_node["kernel"]) if k == "kernel2"
+                k: leaf(p_node["kernel"]) if k == "kernel2"
                 else build(v, p_node[k])
                 for k, v in s_node.items()
             }
@@ -124,11 +141,11 @@ class BrownianBridgeModel:
 
     # ----------------------------------------------------------------- math
 
-    def denoise(self, params, x_t, t, context):
+    def denoise(self, params, x_t, t, context, *, train=False, rngs=None):
         variables = {"params": params["unet"]}
         if "unet_subpixel" in params:  # hoisted combine (p_sample_loop)
             variables["subpixel"] = params["unet_subpixel"]
-        return self.unet.apply(variables, x_t, t, context)
+        return self.unet.apply(variables, x_t, t, context, train=train, rngs=rngs)
 
     def q_sample(self, x0, y, t, noise):
         """Forward bridge draw + training objective (reference `:128-146`)."""
@@ -176,7 +193,16 @@ class BrownianBridgeModel:
         noise = jax.random.normal(n_rng, x.shape, x.dtype)
 
         x_t, objective = self.q_sample(x, y, t, noise)
-        pred = self.denoise(params, x_t, t, context).astype(x.dtype)
+        # train=True: dropout engages (the reference net stays in train mode
+        # for the loss, `runners/BaseRunner.py:398-417`) and UpsampleConv3x3
+        # keeps the naive lowering (the per-step kernel combine is not
+        # hoistable under changing weights — BENCH_NOTES.md round 2).
+        rngs = None
+        if self.unet.dropout > 0.0:
+            rngs = {"dropout": jax.random.fold_in(rng, 0x64726F70)}
+        pred = self.denoise(
+            params, x_t, t, context, train=True, rngs=rngs
+        ).astype(x.dtype)
 
         if self.loss_type == "l1":
             recloss = jnp.abs(objective - pred).mean()
@@ -219,7 +245,8 @@ class BrownianBridgeModel:
 
         # Hoist the UpsampleConv3x3 phase-kernel combine out of the scan:
         # computed here once (fp32) instead of per step inside the loop.
-        sub = self._subpixel_collection(params["unet"])
+        # (tests may stub `denoise` with empty params — skip the hoist then)
+        sub = self._subpixel_collection(params["unet"]) if "unet" in params else None
         if sub is not None:
             params = dict(params, unet_subpixel=sub)
 

@@ -119,23 +119,38 @@ class UpsampleConv3x3(nn.Module):
     """``conv3x3(nearest_upsample_2x(x))`` via the exact subpixel decomposition
     (ops/upsample_conv.py) — ~2.2x fewer conv FLOPs, bit-compatible params with
     ``nn.Conv`` (kernel [3,3,ci,co] HWIO + bias) so checkpoints interchange
-    with the naive formulation."""
+    with the naive formulation.
+
+    ``train=True`` uses the naive upsample+conv instead: in training the
+    per-step kernel combine cannot be hoisted (weights change every step) and
+    its forward+backward cost measured slightly worse than the naive conv's
+    (BENCH_NOTES.md round 2); sampling is where the decomposition wins."""
 
     out_channels: int
     init: Callable = normal_init
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         ci = x.shape[-1]
         kernel = self.param("kernel", self.init, (3, 3, ci, self.out_channels),
                             jnp.float32)
         bias = self.param("bias", zeros_init, (self.out_channels,), jnp.float32)
+        if train and not self.is_initializing():
+            up = upsample_nearest_2x(x)
+            k = kernel
+            if self.dtype is not None:
+                up = up.astype(self.dtype)
+                k = k.astype(self.dtype)
+            out = jax.lax.conv_general_dilated(
+                up, k, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return out + bias.astype(out.dtype)
         # The phase-combined [2,2,ci,4co] kernel lives in the optional
         # "subpixel" collection so samplers can precompute it ONCE outside
         # their scan (models/bridge.py p_sample_loop) instead of re-deriving
         # it from the 3x3 params every step. Declared at init so callers can
-        # discover the paths; absent collection -> combine in-call (training).
+        # discover the paths; absent collection -> combine in-call.
         combined = None
         if self.is_initializing():
             self.variable("subpixel", "kernel2",
@@ -156,10 +171,10 @@ class Upsample(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         if self.use_conv:
             return UpsampleConv3x3(self.out_channels, dtype=self.dtype,
-                                   name="conv")(x)
+                                   name="conv")(x, train)
         return upsample_nearest_2x(x)
 
 
@@ -205,7 +220,7 @@ class ResBlock(nn.Module):
             # op — BENCH_NOTES.md round 2)
             x = upsample_nearest_2x(x)
             h = UpsampleConv3x3(self.out_channels, dtype=self.dtype,
-                                name="in_conv")(h)
+                                name="in_conv")(h, train)
         else:
             if self.down:
                 h = avg_pool_2x(h)

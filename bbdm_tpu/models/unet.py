@@ -179,7 +179,7 @@ class UNet(nn.Module):
                         h = res(ch, f"up_{level}_us", up=True)(h, emb, train)
                     else:
                         h = Upsample(ch, self.conv_resample, dtype=self.dtype,
-                                     name=f"up_{level}_us")(h)
+                                     name=f"up_{level}_us")(h, train)
                     ds //= 2
 
         # --- head ---

@@ -92,14 +92,15 @@ class VQUpsample(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         if self.with_conv:
             # fused subpixel upsample+conv (ops/upsample_conv.py) — exact,
-            # ~2.2x fewer FLOPs, param tree identical to the naive conv
+            # ~2.2x fewer FLOPs, param tree identical to the naive conv;
+            # train=True keeps the naive lowering (see layers.UpsampleConv3x3)
             from bbdm_tpu.models.layers import UpsampleConv3x3
 
             return UpsampleConv3x3(x.shape[-1], init=_init, dtype=self.dtype,
-                                   name="conv")(x)
+                                   name="conv")(x, train)
         return upsample_nearest_2x(x)
 
 
@@ -153,7 +154,7 @@ class VQDecoder(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, z):
+    def __call__(self, z, train: bool = False):
         num_resolutions = len(self.ch_mult)
         block_in = self.ch * self.ch_mult[-1]
         curr_res = self.resolution // 2 ** (num_resolutions - 1)
@@ -170,7 +171,7 @@ class VQDecoder(nn.Module):
                     h = VQAttnBlock(dtype=self.dtype, name=f"up_{i_level}_attn_{i_block}")(h)
             if i_level != 0:
                 h = VQUpsample(self.resamp_with_conv, dtype=self.dtype,
-                               name=f"up_{i_level}_upsample")(h)
+                               name=f"up_{i_level}_upsample")(h, train)
                 curr_res *= 2
         h = GroupNorm32(eps=1e-6, name="norm_out")(h, act="silu")
         return _conv(self.out_ch, 3, padding=1, dtype=jnp.float32, name="conv_out")(
@@ -323,16 +324,16 @@ class VQModel(nn.Module):
     def apply_quant_conv(self, h):
         return self.quant_conv(h)
 
-    def decode_from_quant(self, quant):
+    def decode_from_quant(self, quant, train: bool = False):
         """post_quant_conv -> decoder (reference vqgan.py:80-83)."""
-        return self.decoder(self.post_quant_conv(quant))
+        return self.decoder(self.post_quant_conv(quant), train)
 
     def __call__(self, x, *, temp: float = 1.0, train: bool = False):
         """Full autoencode roundtrip (reference vqgan.py:90-93; GumbelVQ
         threads a softmax temperature, vqgan.py:423-427)."""
         h = self.encode_latent(x)
         quant, emb_loss, _ = self.quantize_latent(h, temp=temp, train=train)
-        return self.decode_from_quant(quant), emb_loss
+        return self.decode_from_quant(quant, train), emb_loss
 
     @staticmethod
     def from_config(vq_params, dtype=None) -> "VQModel":

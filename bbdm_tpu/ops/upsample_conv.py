@@ -71,6 +71,21 @@ def upsample2x_conv3x3(x: jax.Array, w: jax.Array, b: jax.Array | None,
     """
     N, H, W, ci = x.shape
     co = w.shape[-1]
+    if combined is not None and combined.ndim == 5:
+        # [4,2,2,ci,co] pre-arranged phase kernel -> Pallas kernel with the
+        # interleaved write (ops/subpixel_pallas.py; opted in by the sampler
+        # via BBDM_PALLAS_SUBPIX=1, see models/bridge.py).
+        from bbdm_tpu.ops.subpixel_pallas import eligible, subpixel_upconv_pallas
+
+        if eligible(x.shape, ci, co):
+            if dtype is not None:
+                x = x.astype(dtype)
+                combined = combined.astype(dtype)
+            if b is None:
+                b = jnp.zeros((co,), jnp.float32)
+            return subpixel_upconv_pallas(x, combined, b)
+        # shape outside the kernel envelope: fall back to the XLA lowering
+        combined = combined.transpose(1, 2, 3, 0, 4).reshape(2, 2, ci, 4 * co)
     k = combine_kernel_2x2(w) if combined is None else combined
     if dtype is not None:
         x = x.astype(dtype)

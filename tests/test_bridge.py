@@ -104,3 +104,40 @@ def test_grad_flows(model_and_params):
     g = jax.grad(lambda p: m.loss(p, jax.random.PRNGKey(3), x0, y)[0])(params)
     total = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g))
     assert total > 0
+
+
+def test_loss_dropout_train_mode():
+    """With UNet dropout > 0 the loss path (train=True, reference net stays
+    in train mode during the loss, BaseRunner.py:398-417) must thread a
+    dropout rng: finite, deterministic per rng, varying across rngs."""
+    cfg = tiny_bbdm_config(BB={"params": {"UNetParams": {"dropout": 0.5}}})
+    m = build_model(cfg)
+    params = m.init_params(jax.random.PRNGKey(0))
+    x0, y = _data(11)
+    l1, _ = m.loss(params, jax.random.PRNGKey(1), x0, y)
+    l1b, _ = m.loss(params, jax.random.PRNGKey(1), x0, y)
+    l2, _ = m.loss(params, jax.random.PRNGKey(2), x0, y)
+    assert np.isfinite(float(l1)) and float(l1) == float(l1b)
+    # dropout masks differ across rngs (beyond the t/noise draw differences);
+    # sampling ignores dropout entirely (train=False path)
+    assert float(l1) != float(l2)
+    s = m.sample(params, jax.random.PRNGKey(3), y)
+    assert bool(jnp.isfinite(s).all())
+
+
+def test_upsample_conv_train_eval_parity():
+    """UpsampleConv3x3's train=True naive lowering and train=False subpixel
+    decomposition are the same function (exact in fp32) — checkpoints and
+    loss/sampler numerics interchange (BENCH_NOTES.md round 2)."""
+    from bbdm_tpu.models.layers import UpsampleConv3x3
+
+    mod = UpsampleConv3x3(16, dtype=None)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 12))
+    # n.b. the `init` field (param initializer) shadows Module.init
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    params = {"kernel": 0.1 * jax.random.normal(k1, (3, 3, 12, 16)),
+              "bias": jax.random.normal(k2, (16,))}
+    train_out = mod.apply({"params": params}, x, True)
+    eval_out = mod.apply({"params": params}, x, False)
+    np.testing.assert_allclose(np.asarray(train_out), np.asarray(eval_out),
+                               atol=1e-5, rtol=1e-5)

@@ -235,3 +235,52 @@ class TestUpsampleConv:
         g2 = jax.grad(lambda w: (self._naive(x, w, b) ** 2).sum())(w)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    atol=1e-3, rtol=1e-4)
+
+    def test_pallas_kernel_matches_naive(self):
+        """Interpret-mode parity for the Pallas interleaved-write kernel
+        (ops/subpixel_pallas.py) incl. the eligibility fallback path."""
+        import numpy as np
+
+        from bbdm_tpu.ops.subpixel_pallas import (arrange_phase_kernel,
+                                                  subpixel_upconv_pallas)
+        from bbdm_tpu.ops.upsample_conv import combine_kernel_2x2
+
+        rs = np.random.RandomState(2)
+        for (N, h, w, ci, co) in [(2, 8, 8, 128, 128), (1, 4, 8, 128, 256)]:
+            x = jnp.asarray(rs.randn(N, h, w, ci), jnp.float32)
+            wk = jnp.asarray(rs.randn(3, 3, ci, co) * 0.05, jnp.float32)
+            b = jnp.asarray(rs.randn(co), jnp.float32)
+            ref = self._naive(x, wk, b)
+            kp = arrange_phase_kernel(combine_kernel_2x2(wk))
+            got = subpixel_upconv_pallas(x, kp, b)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=5e-5, rtol=1e-4)
+
+    def test_five_dim_combined_dispatch(self):
+        """upsample2x_conv3x3 with a 5-D pre-arranged kernel routes to the
+        Pallas path when eligible and falls back to XLA otherwise."""
+        import numpy as np
+
+        from bbdm_tpu.ops.subpixel_pallas import arrange_phase_kernel
+        from bbdm_tpu.ops.upsample_conv import (combine_kernel_2x2,
+                                                upsample2x_conv3x3)
+
+        rs = np.random.RandomState(3)
+        # ineligible (ci=16 not lane-aligned) -> falls back to XLA lowering
+        x = jnp.asarray(rs.randn(2, 8, 8, 16), jnp.float32)
+        wk = jnp.asarray(rs.randn(3, 3, 16, 16) * 0.1, jnp.float32)
+        b = jnp.asarray(rs.randn(16), jnp.float32)
+        kp = arrange_phase_kernel(combine_kernel_2x2(wk))
+        ref = self._naive(x, wk, b)
+        got = upsample2x_conv3x3(x, wk, b, combined=kp)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+        # eligible -> Pallas (interpret on CPU)
+        x = jnp.asarray(rs.randn(1, 8, 8, 128), jnp.float32)
+        wk = jnp.asarray(rs.randn(3, 3, 128, 128) * 0.1, jnp.float32)
+        b = jnp.asarray(rs.randn(128), jnp.float32)
+        kp = arrange_phase_kernel(combine_kernel_2x2(wk))
+        ref = self._naive(x, wk, b)
+        got = upsample2x_conv3x3(x, wk, b, combined=kp)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-5, rtol=1e-4)
