@@ -38,6 +38,9 @@ def main():
     from bbdm_tpu.training.state import zeros_like_tree
 
     config = load_config(config_path)
+    # BENCH_ACCUM overrides accumulate_grad_batches (accumulation-cost A/B)
+    if "BENCH_ACCUM" in os.environ:
+        config.training.accumulate_grad_batches = int(os.environ["BENCH_ACCUM"])
     model = build_model(config.model)
     params = model.init_params(jax.random.PRNGKey(0))
 

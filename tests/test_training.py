@@ -174,8 +174,16 @@ class TestTrainStep:
         state, _ = step_fn(state, x, y, jax.random.PRNGKey(2))  # step 2: update
         p2 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
         assert np.abs(p2 - p1).max() > 0
-        accum2 = np.asarray(jax.tree_util.tree_leaves(state.grad_accum)[0])
-        np.testing.assert_allclose(accum2, 0.0)
+        # the stale post-update accumulator is masked out at the start of the
+        # next cycle (not zero-written — step.py): step 3's accumulator must be
+        # exactly the fresh microbatch gradient, independent of the leftovers
+        grads = jax.grad(
+            lambda p: model.loss(p, jax.random.PRNGKey(3), x, y)[0]
+        )(state.params)
+        state, _ = step_fn(state, x, y, jax.random.PRNGKey(3))  # step 3: cycle restart
+        np.testing.assert_allclose(
+            np.asarray(jax.tree_util.tree_leaves(state.grad_accum)[0]),
+            np.asarray(jax.tree_util.tree_leaves(grads)[0]), rtol=1e-5, atol=1e-7)
 
     def test_ema_warmup_copies_params(self):
         model, step_fn, state = self._setup(use_ema=True, start_ema_step=1000)
