@@ -26,10 +26,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 OPTION_SETS = {
     "baseline": "",
-    "scoped_vmem_64m": "xla_tpu_scoped_vmem_limit_kib=65536",
-    "scoped_vmem_32m": "xla_tpu_scoped_vmem_limit_kib=32768",
     "latency_hiding": "xla_tpu_enable_latency_hiding_scheduler=true",
 }
+# measured round 2 (BENCH_NOTES): scoped_vmem 64m/32m both negative
+# ("scoped_vmem_64m": "xla_tpu_scoped_vmem_limit_kib=65536")
 
 
 def run(name, opts):
