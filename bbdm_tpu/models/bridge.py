@@ -297,8 +297,20 @@ class BrownianBridgeModel:
         return x_final
 
     def sample(self, params, rng, y, context=None, *, clip_denoised=True,
-               sample_mid_step=False):
-        """reference `:223-225`."""
+               sample_mid_step=False, num_samples=1):
+        """reference `:223-225`. ``num_samples > 1`` stacks several draws for
+        the same conditions in one compiled call (scan over split rngs) —
+        see LatentBrownianBridgeModel.sample."""
+        if num_samples > 1:
+            if sample_mid_step:
+                raise NotImplementedError("num_samples>1 with sample_mid_step")
+
+            def body(carry, r):
+                return carry, self.p_sample_loop(params, r, y, context,
+                                                 clip_denoised=clip_denoised)
+
+            _, outs = jax.lax.scan(body, None, jax.random.split(rng, num_samples))
+            return outs
         return self.p_sample_loop(
             params, rng, y, context,
             clip_denoised=clip_denoised, sample_mid_step=sample_mid_step,

@@ -133,12 +133,31 @@ class LatentBrownianBridgeModel(BrownianBridgeModel):
     # -------------------------------------------------------------- sampling
 
     def sample(self, params, rng, x_cond, context=None, *, clip_denoised=False,
-               sample_mid_step=False, latent_stats=None):
+               sample_mid_step=False, latent_stats=None, num_samples=1):
         """Conditional generation (reference `:102-132`): encode condition,
-        run the reverse bridge from it, decode."""
+        run the reverse bridge from it, decode.
+
+        ``num_samples > 1`` draws several samples for the SAME conditions in
+        one compiled call (`lax.scan` over split rngs, stacked
+        [num_samples, B, H, W, C] output): the condition encode, cond-stage
+        context, parameter pre-cast and subpixel kernel hoist run once
+        instead of per repeat — the reference's ``testing.sample_num`` loop
+        (BBDMRunner.py:234-239) re-encodes every time."""
         y_latent = self.encode(params, x_cond, cond=True, latent_stats=latent_stats)
         if context is None:
             context = self.get_cond_stage_context(params, x_cond)
+        if num_samples > 1:
+            if sample_mid_step:
+                raise NotImplementedError("num_samples>1 with sample_mid_step")
+
+            def body(carry, r):
+                z = self.p_sample_loop(params, r, y_latent, context,
+                                       clip_denoised=clip_denoised)
+                return carry, self.decode(params, z, cond=False,
+                                          latent_stats=latent_stats)
+
+            _, outs = jax.lax.scan(body, None, jax.random.split(rng, num_samples))
+            return outs
         out = self.p_sample_loop(
             params, rng, y_latent, context,
             clip_denoised=clip_denoised, sample_mid_step=sample_mid_step,

@@ -199,6 +199,25 @@ class BBDMRunner(DiffusionBaseRunner):
 
         return jax.jit(fn)
 
+    @functools.cached_property
+    def _sample_multi_fn(self):
+        """One dispatch for all ``testing.sample_num`` draws of a batch:
+        condition encode / context / param pre-cast run once (the reference
+        re-encodes per draw, BBDMRunner.py:234-239). Returns [n, B, H, W, C]."""
+        clip = self.config.testing.get("clip_denoised", False)
+        n = self.config.testing.sample_num
+
+        if self.is_latent:
+            def fn(params, rng, x_cond, stats):
+                return self.model.sample(params, rng, x_cond, clip_denoised=clip,
+                                         latent_stats=stats, num_samples=n)
+        else:
+            def fn(params, rng, x_cond, stats):
+                return self.model.sample(params, rng, x_cond, clip_denoised=clip,
+                                         num_samples=n)
+
+        return jax.jit(fn)
+
     def _ema_sample_params(self):
         """Sampling uses EMA weights (reference sample_step applies the shadow)."""
         return self.state.ema_params if self.use_ema else self.state.params
@@ -292,37 +311,40 @@ class BBDMRunner(DiffusionBaseRunner):
         from collections import deque
 
         inflight: deque = deque()
-        max_inflight = max(2, sample_num)
+        max_inflight = 2
 
         def drain_one():
-            dev, batch_np, j = inflight.popleft()
-            sample = np.asarray(dev)
+            dev, batch_np = inflight.popleft()
+            samples = np.asarray(dev)  # [sample_num, B, H, W, C]
             x, x_cond_np, x_names, cond_names = batch_np
             for i in range(x.shape[0]):
-                if j == 0:
-                    save_single_image(x_cond_np[i], condition_path,
-                                      f"{cond_names[i]}.png", to_normal=to_normal)
-                    save_single_image(x[i], gt_path, f"{x_names[i]}.png",
-                                      to_normal=to_normal)
+                save_single_image(x_cond_np[i], condition_path,
+                                  f"{cond_names[i]}.png", to_normal=to_normal)
+                save_single_image(x[i], gt_path, f"{x_names[i]}.png",
+                                  to_normal=to_normal)
                 if sample_num > 1:
                     result_path_i = make_dir(os.path.join(result_path, x_names[i]))
-                    save_single_image(sample[i], result_path_i,
-                                      f"output_{j}.png", to_normal=to_normal)
+                    for j in range(sample_num):
+                        save_single_image(samples[j, i], result_path_i,
+                                          f"output_{j}.png", to_normal=to_normal)
                 else:
-                    save_single_image(sample[i], result_path,
+                    save_single_image(samples[0, i], result_path,
                                       f"{x_names[i]}.png", to_normal=to_normal)
 
         for test_batch in test_loader:
             x_cond = self._put_sample_batch(test_batch["x_cond"])
             batch_np = (np.asarray(test_batch["x"]), np.asarray(test_batch["x_cond"]),
                         test_batch["x_name"], test_batch["x_cond_name"])
-            for j in range(sample_num):
-                while len(inflight) >= max_inflight:
-                    drain_one()
-                inflight.append((
-                    self._sample_fn(params, self.next_rng(), x_cond,
-                                    self.state.latent_stats),
-                    batch_np, j,
-                ))
+            while len(inflight) >= max_inflight:
+                drain_one()
+            # all sample_num draws in ONE dispatch (encode/context/pre-cast
+            # shared across draws); [1, ...] from _sample_fn when sample_num=1
+            if sample_num > 1:
+                dev = self._sample_multi_fn(params, self.next_rng(), x_cond,
+                                            self.state.latent_stats)
+            else:
+                dev = self._sample_fn(params, self.next_rng(), x_cond,
+                                      self.state.latent_stats)[None]
+            inflight.append((dev, batch_np))
         while inflight:
             drain_one()

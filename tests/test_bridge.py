@@ -141,3 +141,14 @@ def test_upsample_conv_train_eval_parity():
     eval_out = mod.apply({"params": params}, x, False)
     np.testing.assert_allclose(np.asarray(train_out), np.asarray(eval_out),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_multi_sample_stacks_distinct_draws(model_and_params):
+    """num_samples>1 returns [n, B, H, W, C] with distinct stochastic draws
+    in one compiled call (runner sample_to_eval path)."""
+    m, params = model_and_params
+    _, y = _data(12)
+    outs = m.sample(params, jax.random.PRNGKey(5), y, num_samples=3)
+    assert outs.shape == (3,) + y.shape
+    assert float(jnp.abs(outs[0] - outs[1]).max()) > 0
+    assert float(jnp.abs(outs[1] - outs[2]).max()) > 0

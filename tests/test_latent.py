@@ -155,3 +155,12 @@ def test_sample_vqgan_roundtrip(lbbdm):
     x = _imgs(12)
     rec = m.sample_vqgan(params, x)
     assert rec.shape == x.shape
+
+
+def test_multi_sample_latent(lbbdm):
+    m, params = lbbdm
+    x_cond = _imgs(20)
+    outs = m.sample(params, jax.random.PRNGKey(1), x_cond, num_samples=2)
+    assert outs.shape == (2,) + x_cond.shape
+    assert float(jnp.abs(outs[0] - outs[1]).max()) > 0
+    assert bool(jnp.isfinite(outs).all())
