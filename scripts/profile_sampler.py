@@ -26,27 +26,38 @@ import jax
 import jax.numpy as jnp
 
 
+def op_symbol(name: str) -> str:
+    """The defining op symbol with trailing numbering stripped, e.g.
+    '%convert_add_fusion.60 = f32[...] fusion(...)' -> 'convert_add_fusion'.
+
+    Classification MUST use this, not the full event text: HLO names embed
+    operand names, so substring checks against the whole line mis-bucket
+    (a fusion whose operand is %copy-done.7 is not a copy)."""
+    m = re.match(r"%?([a-zA-Z_\-\.]+)", name.split(" = ")[0])
+    return re.sub(r"\.\d*$", "", m.group(1)) if m else "?"
+
+
 def categorize(name: str) -> str:
-    if "convert_reduce" in name:
+    sym = op_symbol(name)
+    if "convert_reduce" in sym:
         return "groupnorm-stats (convert_reduce)"
-    if "convolution" in name:
+    if "convolution" in sym:
         return "convolution"
-    if re.match(r"%?fusion", name):
+    if sym == "fusion":
         return "fusion (conv/elementwise)"
-    if "copy" in name:
+    if "copy" in sym:
         return "copy (layout/VMEM staging)"
-    if "while" in name or "jit_" in name:
+    if "while" in sym or "jit_" in sym:
         return "control"
-    if "dot" in name:
+    if "dot" in sym:
         return "dot"
-    if "dynamic" in name or "slice" in name:
+    if "dynamic" in sym or "slice" in sym:
         return "slice/dynamic-update"
-    if "reduce" in name:
+    if "reduce" in sym:
         return "reduce"
-    if "rng" in name or "threefry" in name:
+    if "rng" in sym or "threefry" in sym:
         return "rng"
-    m = re.match(r"%?([a-zA-Z_\-\.]+)", name)
-    return m.group(1) if m else "?"
+    return sym
 
 
 def self_times(plane):
