@@ -47,6 +47,7 @@ class DataLoader:
         shard_count: int = 1,
         shard_index: int = 0,
         prefetch: int = 2,
+        num_workers: int | None = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -56,6 +57,15 @@ class DataLoader:
         self.shard_count = shard_count
         self.shard_index = shard_index
         self.prefetch = prefetch
+        # parallel per-item decode inside the prefetch pass (the reference
+        # DataLoader runs num_workers=8 processes, BaseRunner.py:351); threads
+        # suffice here because PIL decode and the fastimage ctypes resample
+        # both release the GIL. Default: scale to the host, cap at 8.
+        if num_workers is None:
+            import os
+
+            num_workers = min(8, os.cpu_count() or 1)
+        self.num_workers = max(0, int(num_workers))
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -88,6 +98,16 @@ class DataLoader:
     def _batches(self) -> Iterator[dict]:
         idx = self._indices()
         nb = len(self)
+        if self.num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in range(nb):
+                    chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
+                    # pool.map preserves order -> batch contents deterministic
+                    yield _collate(list(pool.map(
+                        self.dataset.__getitem__, (int(i) for i in chunk))))
+            return
         for b in range(nb):
             chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
             yield _collate([self.dataset[int(i)] for i in chunk])

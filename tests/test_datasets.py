@@ -171,3 +171,18 @@ class TestLoader:
         assert len(DataLoader(self._ds(image_root), 2)) == 3
         assert len(DataLoader(self._ds(image_root), 4)) == 1
         assert len(DataLoader(self._ds(image_root), 4, drop_last=False)) == 2
+
+
+def test_loader_parallel_decode_deterministic(image_root):
+    """num_workers>1 (thread-pool item decode) yields byte-identical batches
+    to the serial path — order via pool.map, per-index RNG for masks."""
+    ds = Registers.datasets["custom_aligned"](
+        _cfg(image_root / "aligned"), stage="train")
+    kw = dict(batch_size=3, shuffle=True, seed=5, prefetch=0)
+    serial = list(DataLoader(ds, num_workers=0, **kw))
+    threaded = list(DataLoader(ds, num_workers=4, **kw))
+    assert len(serial) == len(threaded) == len(ds) // 3
+    for a, b in zip(serial, threaded):
+        np.testing.assert_array_equal(a["x"], b["x"])
+        np.testing.assert_array_equal(a["x_cond"], b["x_cond"])
+        assert a["x_name"] == b["x_name"]
