@@ -205,8 +205,12 @@ class BaseRunner(ABC):
     def _save_ckpt_pair(self, model_name, optim_name):
         model_states, optim_states = self.get_checkpoint_states()
         ckpt_path = self.config.result.ckpt_path
-        save_checkpoint(model_states, os.path.join(ckpt_path, model_name))
-        save_checkpoint(optim_states, os.path.join(ckpt_path, optim_name))
+        # background: training pays only the device->host fetch; the msgpack
+        # serialize + disk write overlap the next steps (checkpoints/io.py)
+        save_checkpoint(model_states, os.path.join(ckpt_path, model_name),
+                        background=True)
+        save_checkpoint(optim_states, os.path.join(ckpt_path, optim_name),
+                        background=True)
         return model_states, optim_states
 
     # -------------------------------------------------------------- hooks
@@ -409,8 +413,10 @@ class BaseRunner(ABC):
                     model_states, optim_states = self._save_ckpt_pair(
                         f"latest_model_{epoch + 1}.ckpt", f"latest_optim_sche_{epoch + 1}.ckpt"
                     )
-                    save_checkpoint(model_states, os.path.join(ckpt_path, "last_model.ckpt"))
-                    save_checkpoint(optim_states, os.path.join(ckpt_path, "last_optim_sche.ckpt"))
+                    save_checkpoint(model_states, os.path.join(ckpt_path, "last_model.ckpt"),
+                                    background=True)
+                    save_checkpoint(optim_states, os.path.join(ckpt_path, "last_optim_sche.ckpt"),
+                                    background=True)
 
                     if self.config.args.save_top:
                         self._save_top_checkpoint(average_loss, epoch, model_states, optim_states)
@@ -429,6 +435,11 @@ class BaseRunner(ABC):
             # after a crash, `:537-554` — a bad contract for any supervisor)
             raise
         finally:
+            # all background checkpoint writers must land before we return
+            # (or before a supervisor reacts to our exit code)
+            from bbdm_tpu.checkpoints.io import wait_for_saves
+
+            wait_for_saves()
             if old_handler is not None:
                 signal.signal(signal.SIGTERM, old_handler)
 
@@ -449,8 +460,10 @@ class BaseRunner(ABC):
             "model_ckpt_name": model_name,
             "optim_sche_ckpt_name": optim_name,
         }
-        save_checkpoint(model_states, os.path.join(ckpt_path, model_name))
-        save_checkpoint(optim_states, os.path.join(ckpt_path, optim_name))
+        save_checkpoint(model_states, os.path.join(ckpt_path, model_name),
+                        background=True)
+        save_checkpoint(optim_states, os.path.join(ckpt_path, optim_name),
+                        background=True)
 
     # ---------------------------------------------------------------- test
 

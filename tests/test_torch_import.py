@@ -297,3 +297,25 @@ def test_vqgan_import_gumbel_quantize_keys():
 
     with pytest.raises(ValueError, match="unmatched"):
         convert_vqgan_state_dict({"quantize.used": np.zeros(3, np.float32)})
+
+
+def test_background_save_ordering(tmp_path):
+    """Background saves land atomically; same-path saves are ordered (the
+    last dispatched wins) and load_checkpoint joins pending writers."""
+    import numpy as np
+
+    from bbdm_tpu.checkpoints.io import (load_checkpoint, save_checkpoint,
+                                         wait_for_saves)
+
+    path = str(tmp_path / "state.ckpt")
+    for v in range(5):
+        save_checkpoint({"v": np.full((64, 64), v, np.float32)}, path,
+                        background=True)
+    out = load_checkpoint(path)  # joins the writers itself
+    assert float(out["v"][0, 0]) == 4.0
+    # sync save over a pending background one also wins
+    save_checkpoint({"v": np.full((64, 64), 9, np.float32)}, path,
+                    background=True)
+    save_checkpoint({"v": np.full((64, 64), 10, np.float32)}, path)
+    wait_for_saves()
+    assert float(load_checkpoint(path)["v"][0, 0]) == 10.0
