@@ -24,10 +24,22 @@ import jax
 import numpy as np
 from flax import serialization
 
-# one pending writer per target path: joining the previous writer before
-# starting the next keeps same-path saves ordered (last dispatched wins)
-_writers: dict[str, threading.Thread] = {}
-_writers_lock = threading.Lock()
+# ONE background writer thread, FIFO: submission order gives same-path
+# ordering for free, and at most one multi-GB msgpack blob exists at a time
+# (thread-per-save would serialize the latest/last/top pairs concurrently —
+# several extra GB of transient host memory on a big model)
+_executor = None
+_futures: dict[str, object] = {}  # path -> last submitted Future
+_lock = threading.Lock()
+
+
+def _get_executor():
+    global _executor
+    if _executor is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _executor = ThreadPoolExecutor(1, thread_name_prefix="ckpt-write")
+    return _executor
 
 
 def _to_host(tree):
@@ -37,11 +49,12 @@ def _to_host(tree):
 def save_checkpoint(tree, path: str, *, background: bool = False) -> None:
     """Serialize ``tree`` to ``path`` (atomic tmp+rename).
 
-    ``background=True`` moves the msgpack serialization and disk write to a
-    writer thread so the training loop only pays the device→host fetch
-    (which must stay synchronous: the step donates the state buffers, so
-    they may be overwritten as soon as the next step dispatches). Writers
-    are ordered per path; ``wait_for_saves()`` joins them all.
+    ``background=True`` moves the msgpack serialization and disk write to
+    the single FIFO writer thread so the training loop only pays the
+    device→host fetch (which must stay synchronous: the step donates the
+    state buffers, so they may be overwritten as soon as the next step
+    dispatches). A writer failure (e.g. ENOSPC) is re-raised at the next
+    same-path save or at ``wait_for_saves()`` — never swallowed.
     """
     host_tree = _to_host(tree)  # synchronous device fetch (see docstring)
 
@@ -52,27 +65,27 @@ def save_checkpoint(tree, path: str, *, background: bool = False) -> None:
             f.write(data)
         os.replace(tmp, path)
 
-    with _writers_lock:
-        prev = _writers.pop(path, None)
+    with _lock:
+        prev = _futures.pop(path, None)
     if prev is not None:
-        prev.join()  # same-path ordering (also for a sync save over a bg one)
+        prev.result()  # same-path ordering; re-raises a failed earlier write
     if not background:
         write()
         return
-    t = threading.Thread(target=write, name=f"ckpt-write:{os.path.basename(path)}")
-    with _writers_lock:
-        _writers[path] = t
-    t.start()
+    fut = _get_executor().submit(write)
+    with _lock:
+        _futures[path] = fut
 
 
 def wait_for_saves() -> None:
-    """Join every pending background checkpoint writer (call before process
-    exit and before reading back a just-saved checkpoint)."""
-    with _writers_lock:
-        pending = list(_writers.values())
-        _writers.clear()
-    for t in pending:
-        t.join()
+    """Drain every pending background checkpoint write, re-raising the first
+    failure (call before process exit, before deleting checkpoint files, and
+    before reading back a just-saved checkpoint)."""
+    with _lock:
+        pending = list(_futures.values())
+        _futures.clear()
+    for f in pending:
+        f.result()
 
 
 def load_checkpoint(path: str):

@@ -13,8 +13,11 @@ depth-to-space pass) with a single kernel that
     phase-window extract pass (an extra ~70 MB/step of HBM traffic in the
     XLA lowering, BENCH_NOTES.md round 2) never exists.
 
-Grid: (N, co_chunks); the input block and the column-shift scratches are
-computed once per sample (first co chunk) and revisited without re-DMA.
+Grid: (co_chunks, N) with the sample index INNERMOST so the (large) weight
+block stays resident across the inner sweep while the small x blocks cycle;
+the column-shift scratches are recomputed in every grid cell (they are
+cheap VPU work relative to the 16 matmuls, but note this when tuning — the
+input block is also re-fetched per cell).
 
 Semantics are exactly ``conv3x3(pad=1)(nearest_upsample_2x(x))`` — parity
 is tested against the XLA decomposition (interpret mode on CPU, plus the
@@ -34,15 +37,20 @@ from jax.experimental.pallas import tpu as pltpu
 _MAX_COC = 512  # output-channel chunk (bounds the kernel block VMEM footprint)
 
 
-def eligible(x_shape, ci: int, co: int) -> bool:
-    """Kernel support envelope: lane-aligned channels, sublane-aligned width,
-    per-sample input that comfortably fits VMEM."""
+def eligible(x_shape, ci: int, co: int, itemsize: int = 2) -> bool:
+    """Kernel support envelope: lane-aligned channels, output channels that
+    chunk evenly by _MAX_COC (subpixel_upconv_pallas asserts this — e.g.
+    co=640 must fall back to XLA, not crash), sublane-aligned width, and a
+    per-sample input that comfortably fits VMEM at the COMPUTE itemsize
+    (2 for bf16, 4 for fp32 — the block + two shift scratches live in VMEM)."""
     N, h, w, _ = x_shape
     if ci % 128 != 0 or co % 128 != 0:
         return False
+    if co % min(co, _MAX_COC) != 0:
+        return False
     if w % 8 != 0 or h < 2:
         return False
-    hw_bytes = h * w * ci * 2
+    hw_bytes = h * w * ci * itemsize
     return hw_bytes <= 8 * 1024 * 1024
 
 

@@ -77,7 +77,8 @@ def upsample2x_conv3x3(x: jax.Array, w: jax.Array, b: jax.Array | None,
         # via BBDM_PALLAS_SUBPIX=1, see models/bridge.py).
         from bbdm_tpu.ops.subpixel_pallas import eligible, subpixel_upconv_pallas
 
-        if eligible(x.shape, ci, co):
+        compute_itemsize = jnp.dtype(dtype or x.dtype).itemsize
+        if eligible(x.shape, ci, co, compute_itemsize):
             if dtype is not None:
                 x = x.astype(dtype)
                 combined = combined.astype(dtype)

@@ -407,6 +407,11 @@ class BaseRunner(ABC):
                     self.logger("saving latest checkpoint...")
                     self.on_save_checkpoint(train_loader, val_loader, epoch, self.global_step)
                     ckpt_path = self.config.result.ckpt_path
+                    # drain pending writers before deleting: a remove racing
+                    # an in-flight os.replace would resurrect the file
+                    from bbdm_tpu.checkpoints.io import wait_for_saves
+
+                    wait_for_saves()
                     for temp in range(epoch + 1):
                         remove_file(os.path.join(ckpt_path, f"latest_model_{temp}.ckpt"))
                         remove_file(os.path.join(ckpt_path, f"latest_optim_sche_{temp}.ckpt"))
@@ -452,6 +457,9 @@ class BaseRunner(ABC):
         if top is not None and not (average_loss < top["loss"]):
             return
         if top is not None:
+            from bbdm_tpu.checkpoints.io import wait_for_saves
+
+            wait_for_saves()  # don't delete under an in-flight writer
             remove_file(os.path.join(ckpt_path, top["model_ckpt_name"]))
             remove_file(os.path.join(ckpt_path, top["optim_sche_ckpt_name"]))
         self.logger(f"saving top checkpoint: average_loss={average_loss} epoch={epoch + 1}")

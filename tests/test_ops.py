@@ -284,3 +284,13 @@ class TestUpsampleConv:
         got = upsample2x_conv3x3(x, wk, b, combined=kp)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=5e-5, rtol=1e-4)
+        # co=640: 128-aligned but NOT divisible by the 512 co-chunk — must
+        # take the XLA fallback, not hit the kernel's chunking assert
+        x = jnp.asarray(rs.randn(1, 8, 8, 128), jnp.float32)
+        wk = jnp.asarray(rs.randn(3, 3, 128, 640) * 0.1, jnp.float32)
+        b = jnp.asarray(rs.randn(640), jnp.float32)
+        kp = arrange_phase_kernel(combine_kernel_2x2(wk))
+        ref = self._naive(x, wk, b)
+        got = upsample2x_conv3x3(x, wk, b, combined=kp)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-5, rtol=1e-4)

@@ -319,3 +319,22 @@ def test_background_save_ordering(tmp_path):
     save_checkpoint({"v": np.full((64, 64), 10, np.float32)}, path)
     wait_for_saves()
     assert float(load_checkpoint(path)["v"][0, 0]) == 10.0
+
+
+def test_background_save_failure_propagates(tmp_path):
+    """A failed background write (e.g. ENOSPC/unwritable dir) must re-raise
+    at wait_for_saves()/the next same-path save — never be swallowed."""
+    import numpy as np
+    import pytest
+
+    from bbdm_tpu.checkpoints.io import save_checkpoint, wait_for_saves
+
+    wait_for_saves()  # drain earlier tests' writers
+    bad = str(tmp_path / "no_such_dir" / "state.ckpt")
+    save_checkpoint({"v": np.zeros(4, np.float32)}, bad, background=True)
+    with pytest.raises(FileNotFoundError):
+        wait_for_saves()
+    wait_for_saves()  # failure is consumed; subsequent saves work again
+    ok = str(tmp_path / "state.ckpt")
+    save_checkpoint({"v": np.ones(4, np.float32)}, ok, background=True)
+    wait_for_saves()
