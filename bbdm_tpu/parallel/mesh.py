@@ -46,7 +46,11 @@ def shard_batch(mesh: Mesh, batch):
     value, silently dropping every other host's samples.
     """
     sharding = NamedSharding(mesh, P("data"))
-    multihost = jax.process_count() > 1
+    # decide by the MESH, not jax.process_count(): a host-local mesh (e.g.
+    # the per-host sampling mesh in a multi-host run) must take the plain
+    # device_put path — make_array_from_process_local_data is a collective
+    # over every process in the mesh and would deadlock when called by one
+    multihost = len({d.process_index for d in mesh.devices.flat}) > 1
 
     def put(x):
         if hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1:

@@ -218,21 +218,52 @@ class BBDMRunner(DiffusionBaseRunner):
 
         return jax.jit(fn)
 
+    @property
+    def sample_mesh(self):
+        """Sampling runs on a HOST-LOCAL mesh: each process samples its own
+        dataset shard independently (reference rank-sharded eval and
+        rank-0-only mid-train sampling, BaseRunner.py:445-452,562-575).
+        Using the global mesh here would (a) turn rank-0-only sampling into
+        a deadlocked cross-process collective and (b) produce outputs that
+        np.asarray cannot fetch (non-addressable shards)."""
+        if not hasattr(self, "_sample_mesh"):
+            if jax.process_count() > 1:
+                from bbdm_tpu.parallel import make_mesh
+
+                self._sample_mesh = make_mesh(jax.local_devices())
+            else:
+                self._sample_mesh = self.mesh
+        return self._sample_mesh
+
+    def _place_for_sampling(self, tree):
+        """Re-place a (replicated, possibly global-mesh) tree onto the
+        host-local sampling mesh. Multi-host only: goes through the host
+        copy of the replicated value — device_put across process-spanning
+        shardings is not generally legal."""
+        if tree is None or self.sample_mesh is self.mesh:
+            return tree
+        from bbdm_tpu.parallel import replicate
+
+        return replicate(self.sample_mesh, jax.device_get(tree))
+
     def _ema_sample_params(self):
         """Sampling uses EMA weights (reference sample_step applies the shadow)."""
-        return self.state.ema_params if self.use_ema else self.state.params
+        params = self.state.ema_params if self.use_ema else self.state.params
+        return self._place_for_sampling(params)
+
+    def _sample_stats(self):
+        return self._place_for_sampling(self.state.latent_stats)
 
     def _put_sample_batch(self, x_cond):
-        """Shard the conditioning batch over the mesh 'data' axis when it
-        divides evenly (all local chips sample in parallel — the TPU-native
-        analogue of the reference's rank-sharded eval, BaseRunner.py:562-575);
+        """Shard the conditioning batch over the sampling mesh's 'data' axis
+        when it divides evenly (all local chips sample in parallel);
         otherwise fall back to single-device placement."""
         from bbdm_tpu.parallel import shard_batch
 
         x_cond = jnp.asarray(x_cond)
-        n = self.mesh.shape.get("data", 1)
+        n = self.sample_mesh.shape.get("data", 1)
         if n > 1 and x_cond.shape[0] % n == 0:
-            return shard_batch(self.mesh, x_cond)
+            return shard_batch(self.sample_mesh, x_cond)
         return x_cond
 
     @functools.cached_property
@@ -265,7 +296,7 @@ class BBDMRunner(DiffusionBaseRunner):
         if self.config.testing.get("sample_mid_step", False):
             imgs, one_step = self._sample_mid_fn(
                 self._ema_sample_params(), self.next_rng(),
-                jnp.asarray(x_cond), self.state.latent_stats)
+                jnp.asarray(x_cond), self._sample_stats())
             self.save_images(
                 np.asarray(imgs), make_dir(os.path.join(sample_path, "reverse_sample")),
                 grid_size, save_interval=max(len(self.model.steps) // 4, 1),
@@ -278,7 +309,7 @@ class BBDMRunner(DiffusionBaseRunner):
         sample = np.asarray(
             self._sample_fn(
                 self._ema_sample_params(), self.next_rng(),
-                self._put_sample_batch(x_cond), self.state.latent_stats,
+                self._put_sample_batch(x_cond), self._sample_stats(),
             )
         )
 
@@ -304,6 +335,7 @@ class BBDMRunner(DiffusionBaseRunner):
         to_normal = self.config.data.dataset_config.to_normal
         sample_num = self.config.testing.sample_num
         params = self._ema_sample_params()
+        stats = self._sample_stats()
 
         # bounded in-flight queue of async device dispatches spanning batch
         # boundaries: the device never idles during host-side PNG encodes
@@ -341,10 +373,10 @@ class BBDMRunner(DiffusionBaseRunner):
             # shared across draws); [1, ...] from _sample_fn when sample_num=1
             if sample_num > 1:
                 dev = self._sample_multi_fn(params, self.next_rng(), x_cond,
-                                            self.state.latent_stats)
+                                            stats)
             else:
                 dev = self._sample_fn(params, self.next_rng(), x_cond,
-                                      self.state.latent_stats)[None]
+                                      stats)[None]
             inflight.append((dev, batch_np))
         while inflight:
             drain_one()

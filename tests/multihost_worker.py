@@ -61,7 +61,11 @@ def main():
     from tests.test_integration import make_args, make_config
 
     cfg = make_config(root, os.path.join(root, "data"),
-                      n_epochs=1, mesh_devices=None, accumulate_grad_batches=1)
+                      n_epochs=1, mesh_devices=None, accumulate_grad_batches=1,
+                      sample_interval=1)  # mid-train sampling fires at step 1
+                      # on rank 0 ONLY — must run on the host-local sampling
+                      # mesh (a global-mesh collective from one process
+                      # deadlocks; runners/bbdm.py sample_mesh)
     cfg.data.train.batch_size = 4
     cfg.data.val.batch_size = 4
     cfg.data.test.batch_size = 4
@@ -72,12 +76,39 @@ def main():
 
     runner = get_runner("BBDMRunner", cfg)
     assert runner.mesh.devices.size == 4
+    assert runner.sample_mesh.devices.size == 2  # host-local sampling mesh
     runner.train()
     assert runner.global_step == 1, runner.global_step
     ckpt = os.path.join(runner.config.result.ckpt_path, "last_model.ckpt")
     has_ckpt = os.path.exists(ckpt)
     assert has_ckpt == (idx == 0), f"rank-0-only ckpt violated: proc {idx} has_ckpt={has_ckpt}"
+    if idx == 0:  # rank-0 mid-train sampling actually produced grids
+        img_dir = os.path.join(runner.config.result.image_path, "1")
+        assert os.path.isdir(img_dir), img_dir
     print(f"[proc {idx}] train ok, rank0_ckpt={has_ckpt}")
+
+    # ---- shared-dir sample_to_eval: each process samples ITS dataset shard
+    # into the SAME tree (reference rank-sharded eval, BaseRunner.py:562-575);
+    # outputs are host-local arrays (np.asarray of a global-mesh result
+    # would raise on non-addressable shards)
+    from jax.experimental import multihost_utils
+
+    cfg2 = make_config(root, os.path.join(root, "data"),
+                       n_epochs=1, mesh_devices=None, accumulate_grad_batches=1)
+    cfg2.data.test.batch_size = 4
+    cfg2.args = make_args(os.path.join(root, "results_eval"), train=False,
+                          sample_to_eval=True)
+    runner2 = get_runner("BBDMRunner", cfg2)
+    runner2.test()
+    multihost_utils.sync_global_devices("eval_done")
+    if idx == 0:
+        eval_dir = runner2.config.result.sample_to_eval_path
+        step_dir = os.path.join(eval_dir, str(cfg2.model.BB.params.sample_step))
+        outs = sorted(os.listdir(step_dir))
+        assert len(outs) == 8, (len(outs), outs)  # full test set, once each
+        conds = sorted(os.listdir(os.path.join(eval_dir, "condition")))
+        assert len(conds) == 8, conds
+    print(f"[proc {idx}] shared eval sweep ok")
 
 
 if __name__ == "__main__":

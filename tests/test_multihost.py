@@ -56,5 +56,6 @@ def test_two_process_train(tmp_path):
         assert p.returncode == 0, f"proc {i} rc={p.returncode}\n{out[-4000:]}"
         assert f"[proc {i}] global batch mean ok" in out, out[-4000:]
         assert f"[proc {i}] train ok" in out, out[-4000:]
+        assert f"[proc {i}] shared eval sweep ok" in out, out[-4000:]
     assert "rank0_ckpt=True" in outs[0]
     assert "rank0_ckpt=False" in outs[1]
