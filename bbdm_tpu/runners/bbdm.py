@@ -135,10 +135,14 @@ class BBDMRunner(DiffusionBaseRunner):
         from bbdm_tpu.data import DataLoader, get_dataset
 
         train_ds, _, _ = get_dataset(self.config.data)
+        # NO per-process sharding here: every host must see the FULL dataset
+        # so all hosts derive IDENTICAL normalization stats (the reference's
+        # stats pass builds a plain DataLoader without a DistributedSampler,
+        # BBDMRunner.py:96-100; per-host shard stats would silently normalize
+        # each host's latents differently before the gradient all-reduce)
         loader = DataLoader(
             train_ds, self.config.data.train.batch_size,
             shuffle=True, drop_last=True, seed=self.config.args.seed,
-            shard_count=jax.process_count(), shard_index=jax.process_index(),
         )
 
         @jax.jit
