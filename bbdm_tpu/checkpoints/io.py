@@ -79,13 +79,33 @@ def save_checkpoint(tree, path: str, *, background: bool = False) -> None:
 
 def wait_for_saves() -> None:
     """Drain every pending background checkpoint write, re-raising the first
-    failure (call before process exit, before deleting checkpoint files, and
-    before reading back a just-saved checkpoint)."""
+    failure AFTER all writers have finished (call before process exit,
+    before deleting checkpoint files, and before reading back a just-saved
+    checkpoint). All futures are joined even when an early one raises —
+    abandoning in-flight writers would let a caller that catches the error
+    delete/read files still being written."""
     with _lock:
         pending = list(_futures.values())
         _futures.clear()
+    first_err = None
     for f in pending:
-        f.result()
+        try:
+            f.result()
+        except BaseException as e:
+            if first_err is None:
+                first_err = e
+    if first_err is not None:
+        raise first_err
+
+
+def wait_for_path(path: str) -> None:
+    """Join only the pending writer (if any) for one target path —
+    re-raises its failure. Cheaper than wait_for_saves() when a caller only
+    needs a specific file settled (e.g. before deleting it)."""
+    with _lock:
+        fut = _futures.pop(path, None)
+    if fut is not None:
+        fut.result()
 
 
 def load_checkpoint(path: str):

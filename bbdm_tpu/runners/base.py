@@ -148,6 +148,42 @@ class BaseRunner(ABC):
         self.rng, sub = jax.random.split(self.rng)
         return sub
 
+    @property
+    def sample_mesh(self):
+        """Sampling runs on a HOST-LOCAL mesh: each process samples its own
+        dataset shard independently (reference rank-sharded eval and
+        rank-0-only mid-train sampling, BaseRunner.py:445-452,562-575).
+        Using the global mesh here would (a) turn rank-0-only sampling into
+        a deadlocked cross-process collective and (b) produce outputs that
+        np.asarray cannot fetch (non-addressable shards)."""
+        if not hasattr(self, "_sample_mesh"):
+            if jax.process_count() > 1:
+                from bbdm_tpu.parallel import make_mesh as _make_mesh
+
+                self._sample_mesh = _make_mesh(jax.local_devices())
+            else:
+                self._sample_mesh = self.mesh
+        return self._sample_mesh
+
+    def _place_for_sampling(self, tree):
+        """Re-place a (replicated, possibly global-mesh) tree onto the
+        host-local sampling mesh. Multi-host only: goes through the host
+        copy of the replicated value — device_put across process-spanning
+        shardings is not generally legal."""
+        if tree is None or self.sample_mesh is self.mesh:
+            return tree
+        return replicate(self.sample_mesh, jax.device_get(tree))
+
+    def _put_sample_batch(self, x_cond):
+        """Shard a batch over the sampling mesh's 'data' axis when it
+        divides evenly (all local chips compute in parallel); otherwise
+        fall back to single-device placement."""
+        x_cond = jnp.asarray(x_cond)
+        n = self.sample_mesh.shape.get("data", 1)
+        if n > 1 and x_cond.shape[0] % n == 0:
+            return shard_batch(self.sample_mesh, x_cond)
+        return x_cond
+
     def _put_batch(self, batch):
         return (
             shard_batch(self.mesh, batch["x"]),
@@ -457,9 +493,12 @@ class BaseRunner(ABC):
         if top is not None and not (average_loss < top["loss"]):
             return
         if top is not None:
-            from bbdm_tpu.checkpoints.io import wait_for_saves
+            from bbdm_tpu.checkpoints.io import wait_for_path
 
-            wait_for_saves()  # don't delete under an in-flight writer
+            # settle only the two files being deleted (a full wait_for_saves
+            # here would stall on the just-dispatched latest/last writes)
+            for name in (top["model_ckpt_name"], top["optim_sche_ckpt_name"]):
+                wait_for_path(os.path.join(ckpt_path, name))
             remove_file(os.path.join(ckpt_path, top["model_ckpt_name"]))
             remove_file(os.path.join(ckpt_path, top["optim_sche_ckpt_name"]))
         self.logger(f"saving top checkpoint: average_loss={average_loss} epoch={epoch + 1}")
@@ -483,7 +522,9 @@ class BaseRunner(ABC):
         self.state = replicate(self.mesh, self.state)
         if self.config.args.sample_to_eval:
             self.sample_to_eval(test_loader, self.config.result.sample_to_eval_path)
-        else:
+        elif self.is_main_process:
+            # single-batch sample mode is rank-0 only: every process writing
+            # its own shard to the SAME grid paths would race/corrupt them
             for i, test_batch in enumerate(test_loader):
                 sample_path = os.path.join(self.config.result.sample_path, str(i))
                 self.sample(test_batch, sample_path, stage="test")

@@ -135,15 +135,28 @@ class BBDMRunner(DiffusionBaseRunner):
         from bbdm_tpu.data import DataLoader, get_dataset
 
         train_ds, _, _ = get_dataset(self.config.data)
-        # NO per-process sharding here: every host must see the FULL dataset
-        # so all hosts derive IDENTICAL normalization stats (the reference's
-        # stats pass builds a plain DataLoader without a DistributedSampler,
-        # BBDMRunner.py:96-100; per-host shard stats would silently normalize
-        # each host's latents differently before the gradient all-reduce)
+        # Every host must end with IDENTICAL stats (the reference encodes the
+        # full dataset on every rank — plain DataLoader, no DistributedSampler,
+        # BBDMRunner.py:87-91; per-host shard stats would silently normalize
+        # each host's latents differently before the gradient all-reduce).
+        # Here each host encodes only ITS shard on its local chips and the
+        # per-host partial sums are allgathered — same result at 1/P the cost.
+        nproc = jax.process_count()
         loader = DataLoader(
             train_ds, self.config.data.train.batch_size,
             shuffle=True, drop_last=True, seed=self.config.args.seed,
+            shard_count=nproc, shard_index=jax.process_index(),
         )
+
+        def combine(*totals):
+            if nproc == 1:
+                return totals
+            from jax.experimental import multihost_utils
+
+            return tuple(
+                multihost_utils.process_allgather(np.asarray(v)).sum(axis=0)
+                for v in totals
+            )
 
         @jax.jit
         def encode_pair(params, x, y):
@@ -164,23 +177,27 @@ class BBDMRunner(DiffusionBaseRunner):
                 ((yl - cond_mean) ** 2).mean(axis=(0, 1, 2), keepdims=True),
             )
 
+        put = self._put_sample_batch  # local-mesh sharding: all local chips
         self.logger("start calculating latent mean")
         tot_om, tot_cm, n = 0.0, 0.0, 0
         for batch in loader:
-            om, cm = batch_means(self.state.params, batch["x"], batch["x_cond"])
+            om, cm = batch_means(self.state.params, put(batch["x"]), put(batch["x_cond"]))
             tot_om, tot_cm, n = tot_om + om, tot_cm + cm, n + 1
-        ori_mean, cond_mean = tot_om / n, tot_cm / n
+        tot_om, tot_cm, n = combine(tot_om, tot_cm, np.asarray(n, np.int64))
+        ori_mean, cond_mean = jnp.asarray(tot_om / n), jnp.asarray(tot_cm / n)
 
         self.logger("start calculating latent std")
         tot_ov, tot_cv, n = 0.0, 0.0, 0
         for batch in loader:
-            ov, cv = batch_vars(self.state.params, batch["x"], batch["x_cond"], ori_mean, cond_mean)
+            ov, cv = batch_vars(self.state.params, put(batch["x"]), put(batch["x_cond"]),
+                                ori_mean, cond_mean)
             tot_ov, tot_cv, n = tot_ov + ov, tot_cv + cv, n + 1
+        tot_ov, tot_cv, n = combine(tot_ov, tot_cv, np.asarray(n, np.int64))
         stats = {
             "ori_latent_mean": ori_mean,
-            "ori_latent_std": jnp.sqrt(tot_ov / n),
+            "ori_latent_std": jnp.asarray(jnp.sqrt(tot_ov / n)),
             "cond_latent_mean": cond_mean,
-            "cond_latent_std": jnp.sqrt(tot_cv / n),
+            "cond_latent_std": jnp.asarray(jnp.sqrt(tot_cv / n)),
         }
         self.state = self.state.replace(latent_stats=stats)
         for k, v in stats.items():
@@ -222,34 +239,6 @@ class BBDMRunner(DiffusionBaseRunner):
 
         return jax.jit(fn)
 
-    @property
-    def sample_mesh(self):
-        """Sampling runs on a HOST-LOCAL mesh: each process samples its own
-        dataset shard independently (reference rank-sharded eval and
-        rank-0-only mid-train sampling, BaseRunner.py:445-452,562-575).
-        Using the global mesh here would (a) turn rank-0-only sampling into
-        a deadlocked cross-process collective and (b) produce outputs that
-        np.asarray cannot fetch (non-addressable shards)."""
-        if not hasattr(self, "_sample_mesh"):
-            if jax.process_count() > 1:
-                from bbdm_tpu.parallel import make_mesh
-
-                self._sample_mesh = make_mesh(jax.local_devices())
-            else:
-                self._sample_mesh = self.mesh
-        return self._sample_mesh
-
-    def _place_for_sampling(self, tree):
-        """Re-place a (replicated, possibly global-mesh) tree onto the
-        host-local sampling mesh. Multi-host only: goes through the host
-        copy of the replicated value — device_put across process-spanning
-        shardings is not generally legal."""
-        if tree is None or self.sample_mesh is self.mesh:
-            return tree
-        from bbdm_tpu.parallel import replicate
-
-        return replicate(self.sample_mesh, jax.device_get(tree))
-
     def _ema_sample_params(self):
         """Sampling uses EMA weights (reference sample_step applies the shadow)."""
         params = self.state.ema_params if self.use_ema else self.state.params
@@ -257,18 +246,6 @@ class BBDMRunner(DiffusionBaseRunner):
 
     def _sample_stats(self):
         return self._place_for_sampling(self.state.latent_stats)
-
-    def _put_sample_batch(self, x_cond):
-        """Shard the conditioning batch over the sampling mesh's 'data' axis
-        when it divides evenly (all local chips sample in parallel);
-        otherwise fall back to single-device placement."""
-        from bbdm_tpu.parallel import shard_batch
-
-        x_cond = jnp.asarray(x_cond)
-        n = self.sample_mesh.shape.get("data", 1)
-        if n > 1 and x_cond.shape[0] % n == 0:
-            return shard_batch(self.sample_mesh, x_cond)
-        return x_cond
 
     @functools.cached_property
     def _sample_mid_fn(self):
@@ -296,11 +273,14 @@ class BBDMRunner(DiffusionBaseRunner):
 
         x = np.asarray(batch["x"])[:4]
         x_cond = np.asarray(batch["x_cond"])[:4]
+        # one placement per call: on multi-host these re-place the full EMA
+        # tree onto the local sampling mesh through the host copy
+        params = self._ema_sample_params()
+        stats = self._sample_stats()
 
         if self.config.testing.get("sample_mid_step", False):
             imgs, one_step = self._sample_mid_fn(
-                self._ema_sample_params(), self.next_rng(),
-                jnp.asarray(x_cond), self._sample_stats())
+                params, self.next_rng(), jnp.asarray(x_cond), stats)
             self.save_images(
                 np.asarray(imgs), make_dir(os.path.join(sample_path, "reverse_sample")),
                 grid_size, save_interval=max(len(self.model.steps) // 4, 1),
@@ -312,8 +292,7 @@ class BBDMRunner(DiffusionBaseRunner):
                 writer_tag=f"{stage}_one_step_sample" if stage != "test" else None)
         sample = np.asarray(
             self._sample_fn(
-                self._ema_sample_params(), self.next_rng(),
-                self._put_sample_batch(x_cond), self._sample_stats(),
+                params, self.next_rng(), self._put_sample_batch(x_cond), stats,
             )
         )
 

@@ -196,7 +196,10 @@ class VQGANRunner(BaseRunner):
         sample_path = make_dir(os.path.join(sample_path, f"{stage}_sample"))
         to_normal = self.config.data.dataset_config.to_normal
         x = np.asarray(batch["x"])[:4]
-        xrec = np.asarray(self.model.reconstruct(self.state.gen_params, jnp.asarray(x)))
+        # host-local placement: rank-0-only sampling must not touch the
+        # global mesh in a multi-host run (BaseRunner.sample_mesh)
+        gen = self._place_for_sampling(self.state.gen_params)
+        xrec = np.asarray(self.model.reconstruct(gen, jnp.asarray(x)))
         from PIL import Image
 
         for name, img in (("input", x), ("reconstruction", xrec)):
@@ -212,9 +215,10 @@ class VQGANRunner(BaseRunner):
         gt_path = make_dir(os.path.join(sample_path, "ground_truth"))
         to_normal = self.config.data.dataset_config.to_normal
         recon = jax.jit(self.model.reconstruct)
+        gen = self._place_for_sampling(self.state.gen_params)
         for batch in test_loader:
-            x = jnp.asarray(batch["x"])
-            xrec = np.asarray(recon(self.state.gen_params, x))
+            x = self._put_sample_batch(batch["x"])
+            xrec = np.asarray(recon(gen, x))
             for i, name in enumerate(batch["x_name"]):
                 save_single_image(np.asarray(x)[i], gt_path, f"{name}.png", to_normal)
                 save_single_image(xrec[i], rec_path, f"{name}.png", to_normal)

@@ -110,6 +110,24 @@ def main():
         assert len(conds) == 8, conds
     print(f"[proc {idx}] shared eval sweep ok")
 
+    # ---- latent-stat identity: the normalize_latent pass shards the dataset
+    # per host and allgathers the partial sums (runners/bbdm.py
+    # get_latent_mean_std) — every host MUST end with identical stats, else
+    # each host silently normalizes its latents differently before the
+    # gradient all-reduce
+    from tests.test_integration_lbbdm import make_lbbdm_config
+
+    cfg3 = make_lbbdm_config(root, os.path.join(root, "data"))
+    cfg3.args = make_args(os.path.join(root, f"results_stats_p{idx}"))
+    runner3 = get_runner("BBDMRunner", cfg3)
+    stats = {k: np.asarray(v) for k, v in runner3.state.latent_stats.items()}
+    for k, v in stats.items():
+        gathered = np.asarray(multihost_utils.process_allgather(v))
+        assert np.array_equal(gathered[0], gathered[1]), (
+            f"per-host latent stats diverge for {k}: {gathered}")
+    assert float(np.abs(stats["ori_latent_std"] - 1.0).max()) > 1e-3  # real pass
+    print(f"[proc {idx}] latent stats identical across hosts")
+
 
 if __name__ == "__main__":
     main()
