@@ -27,8 +27,11 @@ def build_optimizer(optim_config, trainable_mask=None) -> optax.GradientTransfor
         parts = []
         if wd:
             parts.append(optax.add_decayed_weights(wd))
-        # torch RMSprop defaults: alpha=0.99, eps=1e-8
-        parts.append(optax.scale_by_rms(decay=0.99, eps=1e-8))
+        # torch RMSprop defaults: alpha=0.99, eps=1e-8. torch applies eps
+        # OUTSIDE the sqrt (g / (sqrt(v) + eps)); optax's default is inside
+        # (g / sqrt(v + eps)) — eps_in_sqrt=False selects torch semantics
+        # (trajectory parity asserted by tests/test_golden_optim.py).
+        parts.append(optax.scale_by_rms(decay=0.99, eps=1e-8, eps_in_sqrt=False))
         tx = optax.chain(*parts)
     elif name == "SGD":
         tx = optax.trace(decay=0.9)  # torch SGD(momentum=0.9)
