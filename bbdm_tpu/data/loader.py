@@ -9,6 +9,15 @@ batches while the device computes.
 
 Batches are dicts of stacked float32 numpy arrays (NHWC) plus name lists:
     {"x": [B,H,W,C], "x_name": [B], "x_cond": [B,H,W,C], "x_cond_name": [B]}
+
+Dataset contract — THREAD SAFETY: ``num_workers`` defaults to >1, so
+``dataset.__getitem__`` is called CONCURRENTLY from a thread pool. A dataset
+must therefore be stateless per call or use only per-index state (the shipped
+datasets draw any randomness from a per-index ``np.random.RandomState``, e.g.
+inpainting masks in `data/custom.py`). A dataset mutating shared state in
+``__getitem__`` must be constructed with ``num_workers=0`` (or made
+thread-safe); epoch-level mutation belongs in ``set_epoch_seed``, which is
+only ever called between epochs from the consumer thread.
 """
 
 from __future__ import annotations

@@ -41,8 +41,13 @@ def eligible(x_shape, ci: int, co: int, itemsize: int = 2) -> bool:
     """Kernel support envelope: lane-aligned channels, output channels that
     chunk evenly by _MAX_COC (subpixel_upconv_pallas asserts this — e.g.
     co=640 must fall back to XLA, not crash), sublane-aligned width, and a
-    per-sample input that comfortably fits VMEM at the COMPUTE itemsize
-    (2 for bf16, 4 for fp32 — the block + two shift scratches live in VMEM)."""
+    TOTAL per-step VMEM footprint that fits under the kernel's
+    ``vmem_limit_bytes`` with headroom. The footprint counts everything the
+    pallas_call keeps resident (ADVICE round 2 — bounding only the input
+    block let e.g. fp32 (1,64,64,512)->512 pass eligibility and then fail
+    Mosaic compilation at runtime): the input block, the two column-shift
+    scratches, the [4,2,2,ci,coc] weight block, the interleaved
+    [2h,2w,coc] output block, and the four fp32 phase accumulators."""
     N, h, w, _ = x_shape
     if ci % 128 != 0 or co % 128 != 0:
         return False
@@ -50,8 +55,18 @@ def eligible(x_shape, ci: int, co: int, itemsize: int = 2) -> bool:
         return False
     if w % 8 != 0 or h < 2:
         return False
-    hw_bytes = h * w * ci * itemsize
-    return hw_bytes <= 8 * 1024 * 1024
+    hw = h * w
+    coc = min(co, _MAX_COC)
+    vmem = (
+        hw * ci * itemsize          # input block
+        + 2 * hw * ci * itemsize    # shift scratches
+        + 16 * ci * coc * itemsize  # weight block (4 phases x 2x2 taps)
+        + 4 * hw * coc * itemsize   # output block [2h, 2w, coc]
+        + 4 * hw * coc * 4          # fp32 phase accumulators
+    )
+    # 64 MB budget: safely under the 100 MB vmem_limit_bytes, leaving room
+    # for Mosaic's own double-buffering of the cycling input blocks
+    return vmem <= 64 * 1024 * 1024
 
 
 def arrange_phase_kernel(k2: jax.Array) -> jax.Array:

@@ -478,9 +478,22 @@ class BaseRunner(ABC):
         finally:
             # all background checkpoint writers must land before we return
             # (or before a supervisor reacts to our exit code)
+            import sys
+
             from bbdm_tpu.checkpoints.io import wait_for_saves
 
-            wait_for_saves()
+            if sys.exc_info()[0] is not None:
+                # already unwinding with a training exception: a writer
+                # failure raised here would REPLACE it as the propagating
+                # exception (demoting the root cause to __context__) —
+                # log it instead and let the original error surface
+                try:
+                    wait_for_saves()
+                except Exception as we:  # noqa: BLE001
+                    self.logger(f"background checkpoint writer failed during "
+                                f"exception unwind: {we!r}")
+            else:
+                wait_for_saves()
             if old_handler is not None:
                 signal.signal(signal.SIGTERM, old_handler)
 
@@ -524,7 +537,20 @@ class BaseRunner(ABC):
             self.sample_to_eval(test_loader, self.config.result.sample_to_eval_path)
         elif self.is_main_process:
             # single-batch sample mode is rank-0 only: every process writing
-            # its own shard to the SAME grid paths would race/corrupt them
+            # its own shard to the SAME grid paths would race/corrupt them.
+            # The loaders above are process-sharded; rebuild UNSHARDED here so
+            # rank 0 draws from the full test set rather than silently
+            # sampling only its own 1/P shard (ADVICE round 2)
+            if jax.process_count() > 1:
+                _, val_ds, test_ds = get_dataset(self.config.data)
+                full_kw = dict(shuffle=False, drop_last=True,
+                               shard_count=1, shard_index=0,
+                               seed=self.config.args.seed)
+                test_loader = DataLoader(
+                    test_ds, self.config.data.test.batch_size, **full_kw)
+                if len(test_loader) == 0:
+                    test_loader = DataLoader(
+                        val_ds, self.config.data.val.batch_size, **full_kw)
             for i, test_batch in enumerate(test_loader):
                 sample_path = os.path.join(self.config.result.sample_path, str(i))
                 self.sample(test_batch, sample_path, stage="test")

@@ -3,7 +3,10 @@
 import subprocess
 import sys
 
+import pytest
 
+
+@pytest.mark.slow
 def test_dryrun_multichip_4_devices():
     script = (
         "import os;"
@@ -13,10 +16,12 @@ def test_dryrun_multichip_4_devices():
         "import __graft_entry__ as g; g.dryrun_multichip(4)"
     )
     res = subprocess.run([sys.executable, "-c", script], capture_output=True,
-                         text=True, timeout=600, cwd="/root/repo")
-    assert "dryrun_multichip(4): ok" in res.stdout, res.stderr[-2000:]
+                         text=True, timeout=1200, cwd="/root/repo")
+    assert "dryrun_multichip(4): pixel ok" in res.stdout, res.stderr[-2000:]
+    assert "dryrun_multichip(4): latent ok" in res.stdout, res.stderr[-2000:]
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_self_provisions():
     """The driver calls dryrun_multichip bare on a 1-device host (round-1
     failure, MULTICHIP_r01.json): the entry must re-exec itself with a
@@ -27,6 +32,7 @@ def test_dryrun_multichip_self_provisions():
         "import __graft_entry__ as g; g.dryrun_multichip(4)"
     )
     res = subprocess.run([sys.executable, "-c", script], capture_output=True,
-                         text=True, timeout=600, cwd="/root/repo",
+                         text=True, timeout=1200, cwd="/root/repo",
                          env={"PATH": "/usr/bin:/bin:/usr/local/bin"})
-    assert "dryrun_multichip(4): ok" in res.stdout, res.stderr[-2000:]
+    assert "dryrun_multichip(4): pixel ok" in res.stdout, res.stderr[-2000:]
+    assert "dryrun_multichip(4): latent ok" in res.stdout, res.stderr[-2000:]
