@@ -1,0 +1,136 @@
+"""The one-command real-weights protocol (scripts/run_parity.py) stays
+executable.
+
+Offline, no real pretrained weights exist, so the first test fabricates
+checkpoint files in the EXACT on-disk formats real weights arrive in — an
+LDM-style VQGAN ``{'state_dict': ...}`` torch file (reference
+`model/VQGAN/vqgan.py:63-72`) and a reference training ``.pth``
+(`runners/BaseRunner.py:140-170`) — and drives the full protocol: convert ->
+load -> ``sample_to_eval`` sweep -> report. The second test runs the same
+command against REAL weights and is skipped unless ``BBDM_PARITY_VQGAN`` /
+``BBDM_PARITY_BBDM`` point at files (VERDICT round 2 #6: make the
+first-real-weights run a single, already-rehearsed command).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import yaml  # noqa: E402
+
+from bbdm_tpu.config import namespace2dict  # noqa: E402
+from tests.test_integration_lbbdm import make_lbbdm_config  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+
+DD = {"double_z": False, "z_channels": 3, "resolution": 16, "in_channels": 3,
+      "out_ch": 3, "ch": 32, "ch_mult": (1, 2), "num_res_blocks": 1,
+      "attn_resolutions": (), "dropout": 0.0}
+
+
+def _fake_ldm_vqgan(path):
+    """Random-weight torch VQGAN ckpt in the LDM on-disk format."""
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from model.VQGAN.model import Decoder, Encoder
+    from model.VQGAN.quantize import VectorQuantizer2
+
+    torch.manual_seed(0)
+    sd = {}
+    mods = {
+        "encoder": Encoder(**DD), "decoder": Decoder(**DD),
+        "quantize": VectorQuantizer2(32, 3, beta=0.25),
+        "quant_conv": torch.nn.Conv2d(3, 3, 1),
+        "post_quant_conv": torch.nn.Conv2d(3, 3, 1),
+    }
+    for prefix, mod in mods.items():
+        for k, v in mod.state_dict().items():
+            sd[f"{prefix}.{k}"] = v
+    torch.save({"state_dict": sd}, path)
+
+
+def _fake_reference_bbdm(path, cfg_model):
+    """Random-weight reference LBBDM training checkpoint (.pth)."""
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from model.BrownianBridge.BrownianBridgeModel import (
+        BrownianBridgeModel as TorchBBM,
+    )
+
+    torch.manual_seed(1)
+    bbm = TorchBBM(cfg_model)
+    sd = {f"denoise_fn.{k}": v for k, v in bbm.denoise_fn.state_dict().items()}
+    _fake_ldm_vqgan(path + ".vq.tmp")
+    vq = torch.load(path + ".vq.tmp", weights_only=False)["state_dict"]
+    os.remove(path + ".vq.tmp")
+    sd.update({f"vqgan.{k}": v for k, v in vq.items()})
+    ema = {k: v + 0.25 for k, v in sd.items()
+           if k.startswith("denoise_fn.") and v.dtype.is_floating_point}
+    torch.save({"model": sd, "ema": ema, "epoch": 1, "step": 7}, path)
+
+
+def _run_protocol(vqgan, bbdm, config_path, out, n=4, extra=()):
+    env = dict(os.environ, JAX_PLATFORM_NAME="cpu")
+    cmd = [sys.executable, os.path.join(REPO, "scripts", "run_parity.py"),
+           "--vqgan", vqgan, "--config", config_path,
+           "--out", out, "--n", str(n), "--cpu", *extra]
+    if bbdm:
+        cmd += ["--bbdm", bbdm]
+    return subprocess.run(cmd, capture_output=True, text=True, env=env,
+                          cwd=REPO, timeout=1200)
+
+
+@pytest.mark.slow
+def test_run_parity_protocol_synthetic_weights(tmp_path):
+    cfg = make_lbbdm_config(tmp_path, tmp_path / "unused")
+    cfg_path = tmp_path / "tiny-lbbdm.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(namespace2dict(cfg), f)
+
+    vq_pth = str(tmp_path / "fake_ldm_vqgan.ckpt")
+    bbdm_pth = str(tmp_path / "fake_reference_bbdm.pth")
+    _fake_ldm_vqgan(vq_pth)
+    _fake_reference_bbdm(bbdm_pth, cfg.model)
+
+    out = str(tmp_path / "parity_out")
+    res = _run_protocol(vq_pth, bbdm_pth, str(cfg_path), out)
+    assert res.returncode == 0, (res.stdout[-2000:], res.stderr[-2000:])
+    assert "parity report" in res.stdout, res.stdout[-2000:]
+    # converted counters surfaced
+    assert "step=7, epoch=1" in res.stdout, res.stdout[-2000:]
+    # sample_to_eval directory contract under the result tree
+    hits = []
+    for root, dirs, files in os.walk(out):
+        if os.path.basename(root) == "sample_to_eval":
+            hits.append(root)
+    assert hits, f"no sample_to_eval dir under {out}"
+    eval_root = hits[0]
+    step_dir = os.path.join(eval_root, str(cfg.model.BB.params.sample_step))
+    assert os.path.isdir(os.path.join(eval_root, "condition"))
+    assert os.path.isdir(os.path.join(eval_root, "ground_truth"))
+    assert os.path.isdir(step_dir)
+    assert len(os.listdir(step_dir)) > 0
+
+
+@pytest.mark.skipif(
+    not (os.environ.get("BBDM_PARITY_VQGAN")
+         and os.path.exists(os.environ.get("BBDM_PARITY_VQGAN", ""))),
+    reason="BBDM_PARITY_VQGAN not set (no real pretrained weights offline)")
+@pytest.mark.slow
+def test_run_parity_protocol_real_weights(tmp_path):
+    vqgan = os.environ["BBDM_PARITY_VQGAN"]
+    bbdm = os.environ.get("BBDM_PARITY_BBDM")
+    extra = []
+    for var, flag in (("BBDM_FID_WEIGHTS", "--fid-weights"),
+                      ("BBDM_LPIPS_WEIGHTS", "--lpips-weights")):
+        if os.environ.get(var) and os.path.exists(os.environ[var]):
+            extra += [flag, os.environ[var]]
+    res = _run_protocol(vqgan, bbdm, "configs/Template-LBBDM-f4.yaml",
+                        str(tmp_path / "parity_real"), n=4, extra=extra)
+    assert res.returncode == 0, (res.stdout[-2000:], res.stderr[-2000:])
+    assert "parity report" in res.stdout
