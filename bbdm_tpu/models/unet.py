@@ -109,7 +109,15 @@ class UNet(nn.Module):
         Returns [B,H,W,out_channels] in float32.
         """
         if self.dims != 2:
-            raise NotImplementedError("only dims=2 (NHWC images) is supported")
+            # permanent decision, not a TODO (docs/ARCHITECTURE.md "Parity
+            # seams"): the reference's conv_nd 1-D/3-D switch (`diffusion-
+            # modules/util.py:218-228`) is dead in every reference config;
+            # this UNet is NHWC-2-D by design (attention flattening, subpixel
+            # upsample decomposition, Pallas kernels)
+            raise NotImplementedError(
+                "only dims=2 (NHWC images) is supported; the reference's "
+                "dims=1/3 conv_nd switch is unreachable from every reference "
+                "config — see docs/ARCHITECTURE.md")
         mc = self.model_channels
 
         t_emb = timestep_embedding(timesteps, mc)

@@ -98,6 +98,10 @@ class BaseRunner(ABC):
             config.model.EMA.use_ema if "EMA" in config.model else False
         )
 
+        # training.fuse_small_leaves: optimizer-path bucketing of the small
+        # trainable leaves (training/bucket.py); set by the subclass's
+        # initialize_optimizer_scheduler when enabled
+        self.bucketer = None
         self.tx, self.lr_scheduler_config, init_lr = self.initialize_optimizer_scheduler(
             params, config
         )
@@ -111,13 +115,16 @@ class BaseRunner(ABC):
         from bbdm_tpu.training.plateau import plateau_init
 
         accumulate = self.config.training.get("accumulate_grad_batches", 1)
+        # with fuse_small_leaves, the optimizer state and the gradient
+        # accumulator live over the BUCKETED structure
+        opt_params = self.bucketer.bucket(params) if self.bucketer else params
         return TrainState(
             step=jnp.asarray(self.global_step, jnp.int32),
             params=params,
             ema_params=ema_init(params) if self.use_ema else None,
-            opt_state=self.tx.init(params),
+            opt_state=self.tx.init(opt_params),
             plateau=plateau_init(init_lr),
-            grad_accum=zeros_like_tree(params) if accumulate > 1 else None,
+            grad_accum=zeros_like_tree(opt_params) if accumulate > 1 else None,
             latent_stats=self.default_latent_stats(),
         )
 
@@ -126,6 +133,7 @@ class BaseRunner(ABC):
         return make_train_step(
             self.model, self.tx, self.config.training,
             ema_config=ema_cfg, lr_scheduler_config=self.lr_scheduler_config,
+            bucketer=self.bucketer,
         )
 
     def build_eval_step(self):

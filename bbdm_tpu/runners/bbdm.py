@@ -60,6 +60,13 @@ class BBDMRunner(DiffusionBaseRunner):
     def initialize_optimizer_scheduler(self, params, config):
         optim_cfg = config.model.BB.optimizer
         mask = self.model.trainable_mask(params)
+        if config.training.get("fuse_small_leaves", False):
+            from bbdm_tpu.training.bucket import SmallLeafBucketer
+
+            self.bucketer = SmallLeafBucketer(
+                params, mask,
+                threshold=config.training.get("fuse_threshold", 65536))
+            mask = self.bucketer.bucket_mask(mask)
         tx = build_optimizer(optim_cfg, trainable_mask=mask)
         return tx, config.model.BB.lr_scheduler, optim_cfg.lr
 

@@ -32,11 +32,18 @@ def make_train_step(
     training_config,
     ema_config=None,
     lr_scheduler_config=None,
+    bucketer=None,
 ) -> Callable:
     """Build ``train_step(state, x, y, rng) -> (state, metrics)``.
 
     model: BrownianBridgeModel or LatentBrownianBridgeModel — its ``loss``
     accepts (params, rng, x, y[, latent_stats]).
+
+    bucketer: optional ``SmallLeafBucketer`` — gradients are bucketed right
+    after the backward pass so the accumulator, the optimizer moments and
+    the update scaling run over ONE fused vector for the hundreds of small
+    leaves instead of a kernel launch each (training.fuse_small_leaves;
+    tx/opt_state must then be built over the bucketed structure).
     """
     accumulate = int(training_config.get("accumulate_grad_batches", 1))
     use_ema = ema_config is not None and ema_config.get("use_ema", False)
@@ -57,6 +64,8 @@ def make_train_step(
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, rng, x, y, state.latent_stats
         )
+        if bucketer is not None:
+            grads = bucketer.bucket(grads)
 
         if accumulate > 1:
             # Masked accumulator reset instead of writing a zeros tree on every
@@ -75,7 +84,8 @@ def make_train_step(
 
         def do_update(operand):
             params, opt_state, plateau = operand
-            updates, new_opt = tx.update(grads_sum, opt_state, params)
+            opt_params = bucketer.bucket(params) if bucketer is not None else params
+            updates, new_opt = tx.update(grads_sum, opt_state, opt_params)
             # the CURRENT update uses the pre-transition LR: the reference
             # calls scheduler.step(loss) after optimizer.step()
             # (`runners/BaseRunner.py:413-417`), so a plateau-triggered drop
@@ -91,6 +101,8 @@ def make_train_step(
             updates = jax.tree_util.tree_map(
                 lambda u: (-lr * u.astype(jnp.float32)).astype(u.dtype), updates
             )
+            if bucketer is not None:  # back to per-leaf for the apply
+                updates = bucketer.unbucket(updates)
             params = optax.apply_updates(params, updates)
             return params, new_opt, plateau
 

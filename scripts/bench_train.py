@@ -44,20 +44,31 @@ def main():
     model = build_model(config.model)
     params = model.init_params(jax.random.PRNGKey(0))
 
-    tx = build_optimizer(config.model.BB.optimizer, model.trainable_mask(params))
+    mask = model.trainable_mask(params)
+    # BENCH_FUSE=1: small-leaf optimizer bucketing A/B (training/bucket.py)
+    bucketer = None
+    if os.environ.get("BENCH_FUSE") == "1":
+        from bbdm_tpu.training.bucket import SmallLeafBucketer
+
+        bucketer = SmallLeafBucketer(params, mask)
+        tx = build_optimizer(config.model.BB.optimizer, bucketer.bucket_mask(mask))
+    else:
+        tx = build_optimizer(config.model.BB.optimizer, mask)
     accumulate = config.training.get("accumulate_grad_batches", 1)
     init_lr = config.model.BB.optimizer.lr
+    opt_params = bucketer.bucket(params) if bucketer else params
     state = TrainState(
         step=jnp.asarray(0, jnp.int32), params=params,
-        ema_params=ema_init(params), opt_state=tx.init(params),
+        ema_params=ema_init(params), opt_state=tx.init(opt_params),
         plateau=plateau_init(init_lr),
-        grad_accum=zeros_like_tree(params) if accumulate > 1 else None,
+        grad_accum=zeros_like_tree(opt_params) if accumulate > 1 else None,
         latent_stats=None,  # identity stats (runner default)
     )
     ema_cfg = config.model.EMA if "EMA" in config.model else None
     train_step = jax.jit(
         make_train_step(model, tx, config.training, ema_config=ema_cfg,
-                        lr_scheduler_config=config.model.BB.lr_scheduler),
+                        lr_scheduler_config=config.model.BB.lr_scheduler,
+                        bucketer=bucketer),
         donate_argnums=(0,),
     )
 
