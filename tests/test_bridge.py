@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the fast path (pytest -m 'not slow')
+
 from bbdm_tpu.models import build_model
 from tests.conftest import tiny_bbdm_config
 

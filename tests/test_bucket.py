@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the fast path (pytest -m 'not slow')
+
 from bbdm_tpu.models import build_model
 from bbdm_tpu.training import TrainState, make_train_step
 from bbdm_tpu.training.bucket import SmallLeafBucketer

@@ -85,6 +85,7 @@ def test_instantiate_requires_target():
         instantiate_from_config(dict2namespace({"params": {}}))
 
 
+@pytest.mark.slow
 def test_template_models_build_and_shape_check():
     """Every shipped template instantiates through build_model, and the
     sampler's abstract output shape round-trips to the input image shape

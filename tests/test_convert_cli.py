@@ -12,6 +12,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the fast path (pytest -m 'not slow')
+
 torch = pytest.importorskip("torch")
 
 from bbdm_tpu.config import namespace2dict  # noqa: E402

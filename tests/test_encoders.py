@@ -2,6 +2,10 @@
 device-subset selection (VERDICT r1 Missing #4 — the reference's
 encoders/modules.py:36-103 embedders and main.py:100-104 GPU subsetting)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the fast path (pytest -m 'not slow')
+
 import jax
 import jax.numpy as jnp
 import numpy as np

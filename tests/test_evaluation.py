@@ -9,6 +9,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the fast path (pytest -m 'not slow')
 from PIL import Image
 
 from bbdm_tpu.evaluation.diversity import calc_diversity

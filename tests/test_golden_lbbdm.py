@@ -19,6 +19,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the fast path (pytest -m 'not slow')
+
 torch = pytest.importorskip("torch")
 
 import jax  # noqa: E402

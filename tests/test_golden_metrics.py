@@ -13,6 +13,8 @@ pools, Mixed_7c max-pool, lpips eps placement, slice taps, 1x1 heads).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the fast path (pytest -m 'not slow')
+
 torch = pytest.importorskip("torch")
 
 import jax.numpy as jnp  # noqa: E402

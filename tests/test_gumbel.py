@@ -7,6 +7,8 @@ import numpy as np
 import optax
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the fast path (pytest -m 'not slow')
+
 from bbdm_tpu.config import dict2namespace
 from bbdm_tpu.models.discriminator import NLayerDiscriminator
 from bbdm_tpu.models.vqgan import GumbelQuantize, VQModel

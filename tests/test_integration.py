@@ -7,6 +7,8 @@ import os
 import jax
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the fast path (pytest -m 'not slow')
 import yaml
 from PIL import Image
 

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the fast path (pytest -m 'not slow')
+
 from bbdm_tpu.config import dict2namespace
 from bbdm_tpu.registry import get_runner
 from tests.test_integration import make_aligned_dataset, make_args

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the fast path (pytest -m 'not slow')
+
 from bbdm_tpu.config import dict2namespace
 from bbdm_tpu.models import build_model
 from bbdm_tpu.models.latent import init_latent_stats

@@ -1,5 +1,9 @@
 """Mid-step sampling path: trajectory dumps through the runner."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the fast path (pytest -m 'not slow')
+
 import os
 
 import numpy as np

@@ -15,6 +15,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the fast path (pytest -m 'not slow')
+
 from tests.test_integration import make_aligned_dataset
 
 HERE = os.path.dirname(os.path.abspath(__file__))

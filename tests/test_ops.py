@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the fast path (pytest -m 'not slow')
+
 from bbdm_tpu.ops.attention import _xla_attention, multi_head_attention
 from bbdm_tpu.ops.flash_attention import flash_attention
 from bbdm_tpu.ops.group_norm import group_norm

@@ -6,6 +6,10 @@ Runs in a subprocess: XLA CPU collectives can abort the process on rendezvous
 timeouts when 8 fake devices share one core, and that must not kill pytest.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the fast path (pytest -m 'not slow')
+
 import subprocess
 import sys
 

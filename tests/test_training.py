@@ -6,6 +6,8 @@ import numpy as np
 import optax
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the fast path (pytest -m 'not slow')
+
 from bbdm_tpu.training.ema import ema_update
 from bbdm_tpu.training.optim import build_optimizer
 from bbdm_tpu.training.plateau import plateau_init, plateau_step

@@ -8,6 +8,8 @@ import numpy as np
 import optax
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the fast path (pytest -m 'not slow')
+
 from bbdm_tpu.config import dict2namespace
 from bbdm_tpu.models.discriminator import ActNorm, NLayerDiscriminator
 from bbdm_tpu.models.gan_losses import adopt_weight, hinge_d_loss, vanilla_d_loss
