@@ -160,6 +160,63 @@ def test_pixel_bbdm_grad_parity(objective, loss_type, scale_shift, use_ckpt):
 
 
 @pytest.mark.slow
+def test_spatial_transformer_grad_parity():
+    """Backward parity through the cross-attention SpatialTransformer path
+    (CrossAttention q/k/v + GEGLU feed-forward + LayerNorms, reference
+    `attention.py:153-264`) — not reachable from the bridge combos above."""
+    from tests.test_golden_unet import _load_reference_unet
+
+    cfg = tiny_bbdm_config(BB={"params": {"num_timesteps": 20}})
+    p = cfg.BB.params.UNetParams
+    p.use_spatial_transformer = True
+    p.context_dim = 3
+    p.transformer_depth = 1
+
+    torch_net = _load_reference_unet(dict(
+        image_size=p.image_size, in_channels=p.in_channels,
+        model_channels=p.model_channels, out_channels=p.out_channels,
+        num_res_blocks=p.num_res_blocks,
+        attention_resolutions=tuple(p.attention_resolutions),
+        channel_mult=tuple(p.channel_mult), conv_resample=p.conv_resample,
+        dims=2, num_heads=p.num_heads, num_head_channels=p.num_head_channels,
+        use_scale_shift_norm=p.use_scale_shift_norm,
+        resblock_updown=p.resblock_updown,
+        use_spatial_transformer=True, transformer_depth=1, context_dim=3,
+        condition_key="concat",
+    ))
+    _randomize(torch_net)
+    torch_net.train()
+
+    rs = np.random.RandomState(5)
+    x = rs.randn(2, 3, p.image_size, p.image_size).astype(np.float32)
+    ctx = rs.randn(2, 3, p.image_size, p.image_size).astype(np.float32)
+    t = np.array([4, 17], np.int64)
+
+    out = torch_net(torch.from_numpy(x), timesteps=torch.from_numpy(t),
+                    context=torch.from_numpy(ctx))
+    (out ** 2).mean().backward()
+    ref_grads = convert_unet_state_dict(
+        {f"denoise_fn.{k}": v for k, v in _torch_grad_dict(torch_net).items()}, p)
+
+    params = convert_unet_state_dict(
+        {f"denoise_fn.{k}": v for k, v in torch_net.state_dict().items()}, p)
+    from bbdm_tpu.models.unet import UNet
+
+    flax_unet = UNet.from_config(p, condition_key="SpatialRescaler",
+                                 dtype=jnp.float32, init_scheme="reference")
+
+    def loss_fn(params):
+        o = flax_unet.apply({"params": params},
+                            _to_j(x), jnp.asarray(t.astype(np.int32)),
+                            _to_j(ctx), train=True)
+        return jnp.mean(o ** 2)
+
+    grads = jax.grad(loss_fn)(params)
+    _assert_mostly_nonzero(grads, what="ST-UNet gradients")
+    _compare_trees(grads, ref_grads, rtol=3e-4, atol=2e-6)
+
+
+@pytest.mark.slow
 def test_lbbdm_grad_parity_frozen_vqgan():
     """LBBDM training gradients: frozen VQGAN must receive EXACTLY zero
     gradient (reference freezes via requires_grad=False + no_grad encode,
