@@ -1,0 +1,67 @@
+"""CPU smoke of scripts/train_chain_demo.py — the one-client production chain.
+
+Runs the full three-phase chain (in-framework VQGAN first-stage training ->
+LBBDM bridge training on that frozen first stage -> sample_to_eval +
+PSNR/SSIM) end-to-end as a subprocess on the tiny smoke configs, the same
+topology the reference assembles manually from a pretrained LDM checkpoint
+(`/root/reference/model/VQGAN/vqgan.py:63-72`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+
+@pytest.mark.slow
+def test_chain_demo_cpu(tmp_path):
+    from make_synthetic_dataset import write_stage
+
+    data_root = tmp_path / "datasets" / "syn64_smoke"
+    write_stage(str(data_root), "train", 8, 64, 0)
+    write_stage(str(data_root), "val", 4, 64, 1_000_000)
+    write_stage(str(data_root), "test", 4, 64, 2_000_000)
+
+    # conftest.py exports XLA_FLAGS=--xla_force_host_platform_device_count=8
+    # for the sharding tests; the chain subprocess must see one CPU device or
+    # its data mesh would demand batch % 8 == 0
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    res = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "train_chain_demo.py"),
+            "--cpu",
+            "--result", str(tmp_path / "results"),
+            "--vqgan-config", os.path.join(REPO, "configs/runs/VQGAN-smoke-cpu.yaml"),
+            "--lbbdm-config", os.path.join(REPO, "configs/runs/LBBDM-smoke-cpu.yaml"),
+        ],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    assert res.returncode == 0, res.stderr[-4000:]
+
+    report_lines = [l for l in res.stdout.splitlines()
+                    if l.startswith("[chain] report: ")]
+    assert report_lines, res.stdout[-4000:]
+    report = json.loads(report_lines[-1][len("[chain] report: "):])
+
+    # both phases left their checkpoints where phase C found them
+    assert os.path.exists(report["vq_ckpt"])
+    assert os.path.exists(report["bridge_ckpt"])
+
+    # the sample_to_eval directory contract produced comparable image sets
+    for key in ("sample_vs_gt", "condition_vs_gt_floor"):
+        psnr = float(report[key]["psnr"])
+        ssim = float(report[key]["ssim"])
+        assert 0.0 < psnr < 100.0, (key, psnr)
+        assert -1.0 <= ssim <= 1.0, (key, ssim)
