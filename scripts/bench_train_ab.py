@@ -90,7 +90,15 @@ def main():
         "BENCH_POINTS", "16:1:0,16:1:1,8:4:0,8:4:1,32:1:0,32:1:1")
     for spec in points.split(","):
         batch, accumulate, fuse = (int(v) for v in spec.split(":"))
-        dt = measure(config, model, batch, accumulate, bool(fuse))
+        try:
+            dt = measure(config, model, batch, accumulate, bool(fuse))
+        except Exception as e:  # e.g. HBM OOM at large batch — keep sweeping
+            print(json.dumps({
+                "metric": "LBBDM-f4 256x256 train step",
+                "batch": batch, "accumulate": accumulate, "fuse": bool(fuse),
+                "error": f"{type(e).__name__}: {e}"[:300],
+            }), flush=True)
+            continue
         print(json.dumps({
             "metric": "LBBDM-f4 256x256 train step",
             "batch": batch, "accumulate": accumulate, "fuse": bool(fuse),
