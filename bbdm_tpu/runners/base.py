@@ -237,9 +237,22 @@ class BaseRunner(ABC):
                 opt_path = self.config.model.get("optim_sche_load_path")
                 if opt_path:
                     osd = load_checkpoint(opt_path)
-                    opt_state = serialization.from_state_dict(
-                        self.state.opt_state, osd["optimizer"][0]
-                    )
+                    try:
+                        opt_state = serialization.from_state_dict(
+                            self.state.opt_state, osd["optimizer"][0]
+                        )
+                    except (ValueError, KeyError) as e:
+                        # the most likely structural mismatch: the checkpoint
+                        # was written with a different training.fuse_small_leaves
+                        # setting (bucketed opt-state trees nest differently)
+                        raise ValueError(
+                            f"optimizer state in {opt_path} does not match the "
+                            "current optimizer tree. If this checkpoint was "
+                            "written with a different training.fuse_small_leaves "
+                            "setting, resume with the SAME setting (bucketed "
+                            f"and per-leaf optimizer states are not "
+                            f"interconvertible): {e}"
+                        ) from e
                     plateau = serialization.from_state_dict(
                         self.state.plateau, osd["scheduler"][0]
                     )

@@ -170,3 +170,23 @@ def test_single_batch_test_mode(workdir):
     sample_dir = os.path.join(runner.config.result.sample_path, "0", "test_sample")
     files = sorted(os.listdir(sample_dir))
     assert files == ["condition.png", "ground_truth.png", "skip_sample.png"]
+
+
+def test_resume_across_fuse_small_leaves_mismatch_is_diagnosed(workdir):
+    """A checkpoint written with per-leaf optimizer state must not silently
+    mis-restore into a bucketed optimizer tree (training.fuse_small_leaves
+    changes the opt-state structure) — the runner raises a ValueError naming
+    the knob instead."""
+    root, data = workdir
+    cfg = make_config(root, data, n_epochs=1)
+    cfg.args = make_args(root / "results_fuse_src")
+    runner = get_runner("BBDMRunner", cfg)
+    runner.train()
+    ckpt_dir = runner.config.result.ckpt_path
+
+    cfg2 = make_config(root, data, n_epochs=1, fuse_small_leaves=True)
+    cfg2.model.model_load_path = os.path.join(ckpt_dir, "last_model.ckpt")
+    cfg2.model.optim_sche_load_path = os.path.join(ckpt_dir, "last_optim_sche.ckpt")
+    cfg2.args = make_args(root / "results_fuse_dst")
+    with pytest.raises(ValueError, match="fuse_small_leaves"):
+        get_runner("BBDMRunner", cfg2)
