@@ -7,6 +7,12 @@
     # bare LDM VQGAN first-stage checkpoint
     python scripts/convert_checkpoint.py vqgan -i CelebAMaskHQ-f4.ckpt -o vqgan.ckpt
 
+    # full taming/LDM VQGAN TRAINING checkpoint (autoencoder + discriminator
+    # + LPIPS) -> VQGANRunner model_load_path + loss.lpips_weights, for
+    # in-framework fine-tuning from a released first stage
+    python scripts/convert_checkpoint.py vqgan-train -i CelebAMaskHQ-f4.ckpt \
+        -o vqgan_train.ckpt --lpips-out lpips_vgg.ckpt
+
 The outputs load through the normal --resume_model / VQGAN ckpt_path paths,
 so released reference weights can be evaluated for FID/LPIPS parity without
 retraining (SURVEY.md §7 decision 6).
@@ -23,19 +29,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("kind", choices=["bbdm", "vqgan"])
+    parser.add_argument("kind", choices=["bbdm", "vqgan", "vqgan-train"])
     parser.add_argument("-c", "--config", type=str, default=None,
                         help="YAML config describing the model (bbdm kind)")
     parser.add_argument("-i", "--input", type=str, required=True, help="torch .pth/.ckpt")
     parser.add_argument("-o", "--output", type=str, required=True, help="output .ckpt")
+    parser.add_argument("--lpips-out", type=str, default=None,
+                        help="vqgan-train: also write the checkpoint's LPIPS "
+                             "weights here (point loss.lpips_weights at it)")
     args = parser.parse_args()
 
     from bbdm_tpu.checkpoints.io import save_checkpoint
     from bbdm_tpu.checkpoints.torch_import import (
         convert_ldm_vqgan_checkpoint,
         convert_reference_checkpoint,
+        convert_vqgan_train_checkpoint,
     )
 
+    lpips = None
     if args.kind == "bbdm":
         if not args.config:
             parser.error("bbdm conversion needs -c/--config")
@@ -43,12 +54,24 @@ def main():
 
         config = load_config(args.config)
         out = convert_reference_checkpoint(args.input, config.model)
+    elif args.kind == "vqgan-train":
+        out, lpips = convert_vqgan_train_checkpoint(args.input)
     else:
         out = {"vqgan": convert_ldm_vqgan_checkpoint(args.input)}
 
     os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
     save_checkpoint(out, args.output)
     print(f"wrote {args.output}")
+    if args.kind == "vqgan-train":
+        if lpips is None:
+            print("no loss.perceptual_loss.* weights in the checkpoint")
+        elif args.lpips_out:
+            os.makedirs(os.path.dirname(os.path.abspath(args.lpips_out)),
+                        exist_ok=True)
+            save_checkpoint(lpips, args.lpips_out)
+            print(f"wrote {args.lpips_out}")
+        else:
+            print("checkpoint has LPIPS weights; pass --lpips-out to export")
 
 
 if __name__ == "__main__":
