@@ -118,3 +118,15 @@ def restore_like(template, loaded):
     """Coerce a loaded (dict-of-numpy) tree onto the structure/dtypes of
     ``template`` (e.g. a TrainState field), preserving shardings at use site."""
     return serialization.from_state_dict(template, loaded)
+
+
+def extract_vqgan_tree(tree):
+    """The VQGAN param tree from any of our checkpoint layouts: a bare tree,
+    a converted ``{'vqgan': ...}`` ckpt, or a full VQGANRunner training
+    checkpoint (``{'model': {'vqgan': ...}, ...}``). Shared by the LBBDM
+    frozen-first-stage load and scripts/eval_vqgan_recon.py."""
+    if "vqgan" in tree:
+        return tree["vqgan"]
+    if "model" in tree and "vqgan" in tree["model"]:
+        return tree["model"]["vqgan"]
+    return tree

@@ -176,6 +176,30 @@ def calc_LPIPS(data_dir: str, gt_dir: str, num_samples: int = 1, *,
     return avg
 
 
+def paired_LPIPS(data_dir: str, gt_dir: str, *,
+                 weights_path: str | None = None, net: str = "alex") -> float:
+    """Mean LPIPS over files present (by name) in BOTH flat directories.
+
+    `calc_LPIPS` keeps the reference's numeric `{i}.png` protocol
+    (`evaluation/LPIPS.py:11-32`); this variant pairs by filename instead,
+    matching what `sample_to_eval` actually writes (dataset-stem names,
+    data/base.py) — used by scripts/run_parity.py.
+    """
+    params = load_lpips_params(weights_path, net)
+    dist = _make_dist_fn(params, net)
+    names = sorted(set(os.listdir(data_dir)) & set(os.listdir(gt_dir)))
+    names = [n for n in names
+             if os.path.splitext(n)[1].lower() in
+             {".png", ".jpg", ".jpeg", ".bmp", ".webp"}]
+    if not names:
+        raise ValueError(f"no common image names in {data_dir} / {gt_dir}")
+    acc = 0.0
+    for n in names:
+        acc += float(dist(_im2tensor(os.path.join(gt_dir, n)),
+                          _im2tensor(os.path.join(data_dir, n)))[0])
+    return acc / len(names)
+
+
 def random_LPIPS(data_dir: str, gt_dir: str, num_samples: int = 1, *,
                  params=None, net: str = "alex") -> float:
     """reference `:40-55`: one random output per input."""

@@ -401,6 +401,7 @@ class BaseRunner(ABC):
             pass
 
         average_loss = float("nan")
+        unwinding = False
         try:
             for epoch in range(start_epoch, training.n_epochs):
                 if self.global_step > training.n_steps:
@@ -483,6 +484,7 @@ class BaseRunner(ABC):
                     if self.config.args.save_top:
                         self._save_top_checkpoint(average_loss, epoch, model_states, optim_states)
         except BaseException as e:
+            unwinding = True
             if self.is_main_process:  # reference bug `:538` gates on the wrong rank
                 self.logger("exception save model start....")
                 model_states, optim_states = self.get_checkpoint_states(stage="exception")
@@ -499,11 +501,13 @@ class BaseRunner(ABC):
         finally:
             # all background checkpoint writers must land before we return
             # (or before a supervisor reacts to our exit code)
-            import sys
-
             from bbdm_tpu.checkpoints.io import wait_for_saves
 
-            if sys.exc_info()[0] is not None:
+            # NOTE: an explicit flag, not sys.exc_info() — the latter also
+            # reports exceptions merely being HANDLED in outer frames (e.g. a
+            # supervisor retrying train() inside its own except:), which would
+            # silently demote a writer failure on an otherwise-clean run
+            if unwinding:
                 # already unwinding with a training exception: a writer
                 # failure raised here would REPLACE it as the propagating
                 # exception (demoting the root cause to __context__) —

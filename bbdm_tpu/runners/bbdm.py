@@ -83,15 +83,9 @@ class BBDMRunner(DiffusionBaseRunner):
         if not os.path.exists(path):
             raise FileNotFoundError(f"VQGAN checkpoint not found: {path}")
         try:
-            tree = load_checkpoint(path)
-            # accept a bare vqgan tree, a converted {'vqgan': ...} ckpt, or a
-            # VQGANRunner training checkpoint ({'model': {'vqgan': ...}, ...})
-            if "vqgan" in tree:
-                vq = tree["vqgan"]
-            elif "model" in tree and "vqgan" in tree["model"]:
-                vq = tree["model"]["vqgan"]
-            else:
-                vq = tree
+            from bbdm_tpu.checkpoints.io import extract_vqgan_tree
+
+            vq = extract_vqgan_tree(load_checkpoint(path))
         except Exception:
             from bbdm_tpu.checkpoints.torch_import import convert_ldm_vqgan_checkpoint
 

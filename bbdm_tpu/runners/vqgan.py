@@ -167,6 +167,23 @@ class VQGANRunner(BaseRunner):
             return None
         self.logger(f"load model {self.config.model.model_name} from {path}")
         states = load_checkpoint(path)
+        # converted taming/LDM checkpoints carry the discriminator geometry
+        # they were built with — fail with the config knobs by name instead
+        # of a raw flax key/shape mismatch (torch_import.py disc_config)
+        if "disc_config" in states:
+            loss_cfg = self.config.model.loss
+            want = {
+                "disc_num_layers": loss_cfg.get("disc_num_layers", 3),
+                "use_actnorm": bool(loss_cfg.get("use_actnorm", False)),
+                "disc_ndf": loss_cfg.get("disc_ndf", 64),
+            }
+            got = {k: type(want[k])(states["disc_config"][k]) for k in want}
+            if got != want:
+                raise ValueError(
+                    f"checkpoint {path} was converted with discriminator "
+                    f"geometry {got}, but model.loss configures {want} — "
+                    "align disc_num_layers/use_actnorm/disc_ndf in the config "
+                    "with the checkpoint")
         self.global_epoch = int(states["epoch"])
         self.global_step = int(states["step"])
         st = self.state

@@ -64,6 +64,10 @@ def measure(config, model, batch, accumulate, fuse, runs=10):
 
     state, metrics = train_step(state, x, y, jax.random.PRNGKey(1))
     float(metrics["loss"])  # compile + sync
+    # time whole accumulation cycles: any window of k*accumulate steps holds
+    # exactly k optimizer updates, so the per-step average is steady-state
+    # (10 steps at accumulate=4 would capture 2 updates instead of 2.5)
+    runs = -(-runs // accumulate) * accumulate
     t0 = time.perf_counter()
     for i in range(runs):
         state, metrics = train_step(state, x, y,

@@ -63,6 +63,10 @@ def main():
     save_checkpoint(out, args.output)
     print(f"wrote {args.output}")
     if args.kind == "vqgan-train":
+        dc = out["disc_config"]
+        print("discriminator geometry (set these in model.loss): "
+              f"disc_num_layers={dc['disc_num_layers']} "
+              f"use_actnorm={dc['use_actnorm']} disc_ndf={dc['disc_ndf']}")
         if lpips is None:
             print("no loss.perceptual_loss.* weights in the checkpoint")
         elif args.lpips_out:

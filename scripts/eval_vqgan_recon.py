@@ -68,13 +68,9 @@ def main():
         jnp.zeros((1, res, res, vq_cfg.ddconfig.in_channels), jnp.float32),
     )["params"]
 
-    tree = load_checkpoint(args.vq_ckpt)
-    if "vqgan" in tree:
-        vq = tree["vqgan"]
-    elif "model" in tree and "vqgan" in tree["model"]:
-        vq = tree["model"]["vqgan"]
-    else:
-        vq = tree
+    from bbdm_tpu.checkpoints.io import extract_vqgan_tree
+
+    vq = extract_vqgan_tree(load_checkpoint(args.vq_ckpt))
     params = serialization.from_state_dict(params, vq)
 
     @jax.jit

@@ -123,6 +123,23 @@ def main():
     gt_dir = os.path.join(eval_root, "ground_truth")
     print(f"[sample] wrote {eval_root}")
 
+    if args.sample_num > 1:
+        # sample_num>1 writes <step>/<name>/output_j.png (runners/bbdm.py);
+        # the flat-directory metric protocols can't consume that layout, so
+        # normalize to one flat dir of first draws (documented: metrics below
+        # are over output_0; the full multi-draw tree stays in sample_dir for
+        # diversity/max_min_LPIPS by hand).
+        flat = os.path.join(args.out, "samples_flat")
+        os.makedirs(flat, exist_ok=True)
+        for name in sorted(os.listdir(sample_dir)):
+            src = os.path.join(sample_dir, name, "output_0.png")
+            dst = os.path.join(flat, f"{name}.png")
+            if os.path.exists(src) and not os.path.exists(dst):
+                os.symlink(os.path.abspath(src), dst)
+        print(f"[metrics] sample_num={args.sample_num}: metrics use first "
+              f"draws flattened into {flat}")
+        sample_dir = flat
+
     # ---- metrics: JAX ports vs reference pip packages ------------------
     results = {}
     if args.fid_weights and os.path.exists(args.fid_weights):
@@ -133,11 +150,10 @@ def main():
     else:
         print("[metrics] FID(jax) skipped: no --fid-weights")
     if args.lpips_weights and os.path.exists(args.lpips_weights):
-        from bbdm_tpu.evaluation.lpips import calc_LPIPS
+        from bbdm_tpu.evaluation.lpips import paired_LPIPS
 
-        results["LPIPS/jax"] = calc_LPIPS(sample_dir, gt_dir,
-                                          num_samples=args.sample_num,
-                                          weights_path=args.lpips_weights)
+        results["LPIPS/jax"] = paired_LPIPS(sample_dir, gt_dir,
+                                            weights_path=args.lpips_weights)
     else:
         print("[metrics] LPIPS(jax) skipped: no --lpips-weights")
 
@@ -154,7 +170,6 @@ def main():
         # mirror reference evaluation/LPIPS.py:11-32 on CPU
         import torch
 
-        from bbdm_tpu.evaluation.lpips import _image_files  # noqa: F401
         loss_fn = lpips_pkg.LPIPS(net="alex")
         total, n = 0.0, 0
         from PIL import Image

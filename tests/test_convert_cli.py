@@ -155,6 +155,10 @@ def test_vqgan_train_checkpoint_seeds_finetuning(tmp_path):
     states = load_checkpoint(str(out))
     assert states["step"] == 0 and states["epoch"] == 0  # fresh fine-tune
     assert set(states["model"]) == {"vqgan", "discriminator", "disc_stats"}
+    # recorded geometry lets VQGANRunner validate the loss config at load
+    assert states["disc_config"] == {
+        "disc_num_layers": DISC_LAYERS, "use_actnorm": False,
+        "disc_ndf": DISC_NDF}
 
     # discriminator tree identical to the direct converter with KNOWN
     # n_layers/use_actnorm — i.e. the inference from main.* indices is right

@@ -97,10 +97,28 @@ def test_run_parity_protocol_synthetic_weights(tmp_path):
     _fake_ldm_vqgan(vq_pth)
     _fake_reference_bbdm(bbdm_pth, cfg.model)
 
+    # random-weight LPIPS in our ckpt format: exercises the paired-LPIPS
+    # metric stage (filename pairing vs sample_to_eval's stem names) and,
+    # with --sample-num 2, the per-name-subdir flattening
+    from bbdm_tpu.checkpoints.io import save_checkpoint
+    from bbdm_tpu.evaluation.lpips import convert_lpips_state_dict
+    from tests.torch_mirrors import LPIPSMirror
+
+    torch.manual_seed(3)
+    lp_params = convert_lpips_state_dict(
+        LPIPSMirror(net="alex").eval().state_dict(), "alex")
+    lp_path = str(tmp_path / "lpips_alex.ckpt")
+    save_checkpoint(lp_params, lp_path)
+
     out = str(tmp_path / "parity_out")
-    res = _run_protocol(vq_pth, bbdm_pth, str(cfg_path), out)
+    res = _run_protocol(vq_pth, bbdm_pth, str(cfg_path), out,
+                        extra=("--lpips-weights", lp_path,
+                               "--sample-num", "2"))
     assert res.returncode == 0, (res.stdout[-2000:], res.stderr[-2000:])
     assert "parity report" in res.stdout, res.stdout[-2000:]
+    assert "LPIPS/jax" in res.stdout, res.stdout[-2000:]
+    flat = os.path.join(out, "samples_flat")
+    assert os.path.isdir(flat) and len(os.listdir(flat)) > 0
     # converted counters surfaced
     assert "step=7, epoch=1" in res.stdout, res.stdout[-2000:]
     # sample_to_eval directory contract under the result tree
