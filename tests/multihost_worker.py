@@ -128,6 +128,27 @@ def main():
     assert float(np.abs(stats["ori_latent_std"] - 1.0).max()) > 1e-3  # real pass
     print(f"[proc {idx}] latent stats identical across hosts")
 
+    # ---- in-framework VQGAN (GAN) training under the same 2-host mesh:
+    # two optimizer states, the adaptive-weight double-backward, and
+    # BatchNorm batch_stats all ride the sharded global batch; mid-train
+    # sampling (sample_interval=1) again exercises the rank-0 host-local
+    # placement for GANTrainState
+    from tests.test_vqgan_training import make_vqgan_config
+
+    cfg4 = make_vqgan_config(os.path.join(root, f"results_vq_p{idx}"),
+                             os.path.join(root, "vq_data"),
+                             mesh_devices=None, batch_size=4,
+                             sample_interval=1)
+    cfg4.model.loss.adaptive_disc_weight = True
+    runner4 = get_runner("VQGANRunner", cfg4)
+    assert runner4.mesh.devices.size == 4
+    runner4.train()
+    vq_ckpt = os.path.join(runner4.config.result.ckpt_path, "last_model.ckpt")
+    has_vq_ckpt = os.path.exists(vq_ckpt)
+    assert has_vq_ckpt == (idx == 0), (
+        f"rank-0-only vqgan ckpt violated: proc {idx} has_ckpt={has_vq_ckpt}")
+    print(f"[proc {idx}] vqgan train ok, rank0_ckpt={has_vq_ckpt}")
+
 
 if __name__ == "__main__":
     main()

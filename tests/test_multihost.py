@@ -18,6 +18,7 @@ import pytest
 pytestmark = pytest.mark.slow  # excluded from the fast path (pytest -m 'not slow')
 
 from tests.test_integration import make_aligned_dataset
+from tests.test_vqgan_training import make_single_image_dataset
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
@@ -31,6 +32,7 @@ def _free_port():
 
 def test_two_process_train(tmp_path):
     make_aligned_dataset(str(tmp_path / "data"))
+    make_single_image_dataset(tmp_path / "vq_data")
     port = _free_port()
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     env["JAX_PLATFORM_NAME"] = "cpu"
@@ -47,7 +49,7 @@ def test_two_process_train(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=900)
+            out, _ = p.communicate(timeout=1200)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
@@ -60,5 +62,6 @@ def test_two_process_train(tmp_path):
         assert f"[proc {i}] train ok" in out, out[-4000:]
         assert f"[proc {i}] shared eval sweep ok" in out, out[-4000:]
         assert f"[proc {i}] latent stats identical across hosts" in out, out[-4000:]
+        assert f"[proc {i}] vqgan train ok" in out, out[-4000:]
     assert "rank0_ckpt=True" in outs[0]
     assert "rank0_ckpt=False" in outs[1]

@@ -136,34 +136,36 @@ class TestGANStep:
         assert float(metrics["d_loss"]) == 0.0  # disc_factor gated to 0
 
 
-def test_vqgan_runner_lifecycle(tmp_path):
-    """1-epoch train -> ckpt -> resume -> sample_to_eval reconstructions."""
+def make_single_image_dataset(data, n=8, size=16):
     from PIL import Image
 
-    from bbdm_tpu.registry import get_runner
-
-    data = tmp_path / "data"
     rs = np.random.RandomState(0)
     for stage in ("train", "val", "test"):
-        d = data / stage
-        d.mkdir(parents=True)
-        for i in range(8):
-            Image.fromarray(rs.randint(0, 255, (16, 16, 3), np.uint8)).save(
-                d / f"img_{i}.png")
+        d = os.path.join(str(data), stage)
+        os.makedirs(d, exist_ok=True)
+        for i in range(n):
+            Image.fromarray(rs.randint(0, 255, (size, size, 3), np.uint8)).save(
+                os.path.join(d, f"img_{i}.png"))
 
-    cfg = dict2namespace({
+
+def make_vqgan_config(result_root, data, *, mesh_devices=1, batch_size=8,
+                      sample_interval=10, **training_overrides):
+    """Tiny VQGANRunner config (shared with the 2-process multihost worker)."""
+    training = {"n_epochs": 1, "n_steps": 100, "save_interval": 1,
+                "sample_interval": sample_interval, "validation_interval": 1,
+                "accumulate_grad_batches": 1, "mesh_devices": mesh_devices}
+    training.update(training_overrides)
+    return dict2namespace({
         "runner": "VQGANRunner",
-        "training": {"n_epochs": 1, "n_steps": 100, "save_interval": 1,
-                     "sample_interval": 10, "validation_interval": 1,
-                     "accumulate_grad_batches": 1, "mesh_devices": 1},
+        "training": training,
         "testing": {"clip_denoised": False, "sample_num": 1},
         "data": {
             "dataset_name": "syn", "dataset_type": "custom_single",
             "dataset_config": {"dataset_path": str(data), "image_size": 16,
                                "channels": 3, "to_normal": True, "flip": False},
-            "train": {"batch_size": 8, "shuffle": True},
-            "val": {"batch_size": 8, "shuffle": True},
-            "test": {"batch_size": 8},
+            "train": {"batch_size": batch_size, "shuffle": True},
+            "val": {"batch_size": batch_size, "shuffle": True},
+            "test": {"batch_size": batch_size},
         },
         "model": {
             "model_name": "vq-tiny", "model_type": "VQGAN",
@@ -181,11 +183,21 @@ def test_vqgan_runner_lifecycle(tmp_path):
         },
         "args": dict2namespace({
             "train": True, "sample_to_eval": False, "sample_at_start": False,
-            "save_top": False, "seed": 1, "result_path": str(tmp_path / "results"),
+            "save_top": False, "seed": 1,
+            "result_path": str(result_root),
             "resume_model": None, "resume_optim": None,
             "max_epoch": None, "max_steps": None, "gpu_ids": "-1",
             "port": "0", "config": ""}),
     })
+
+
+def test_vqgan_runner_lifecycle(tmp_path):
+    """1-epoch train -> ckpt -> resume -> sample_to_eval reconstructions."""
+    from bbdm_tpu.registry import get_runner
+
+    data = tmp_path / "data"
+    make_single_image_dataset(data)
+    cfg = make_vqgan_config(tmp_path / "results", data)
 
     runner = get_runner("VQGANRunner", cfg)
     runner.train()
