@@ -62,7 +62,12 @@ def measure(config, model, batch, accumulate, fuse, runs=10):
     x = jnp.zeros((batch, size, size, 3), jnp.float32)
     y = jnp.zeros((batch, size, size, 3), jnp.float32)
 
-    state, metrics = train_step(state, x, y, jax.random.PRNGKey(1))
+    # warm up one full accumulation cycle + 2: the first dispatches of a
+    # fresh client through the axon tunnel can run ~30% slow (measured: a
+    # first-point 76.6 img/s vs 100.3 steady-state for the same config)
+    for i in range(max(3, accumulate + 2)):
+        state, metrics = train_step(state, x, y,
+                                    jax.random.fold_in(jax.random.PRNGKey(1), i))
     float(metrics["loss"])  # compile + sync
     # time whole accumulation cycles: any window of k*accumulate steps holds
     # exactly k optimizer updates, so the per-step average is steady-state
