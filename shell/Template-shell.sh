@@ -1,23 +1,39 @@
-#!/usr/bin/env bash
-# End-to-end recipe (mirrors the reference's shell/Template-shell.sh flow):
-# train, sample the test set, then compute metrics over the outputs.
-set -euo pipefail
+# Command templates mirroring reference shell/Template-shell.sh, adapted to
+# this framework's CLI (same flags; --gpu_ids -1 forces CPU, multi-host via
+# BBDM_MULTIHOST=1 — see docs/MIGRATION.md).
 
-CONFIG=configs/Template-LBBDM-f4.yaml
-RESULT=results
-RUN="$RESULT/dataset_name/LBBDM-f4"
+#train
+python3 main.py --config configs/Template-LBBDM-f4.yaml --train --sample_at_start --save_top --gpu_ids 0 \
+--resume_model path/to/model.ckpt --resume_optim path/to/optim.ckpt
 
-# 1) train
-python main.py -c "$CONFIG" --train --sample_at_start --save_top -r "$RESULT"
+#test
+python3 main.py --config configs/Template-LBBDM-f4.yaml --sample_to_eval --gpu_ids 0 \
+--resume_model path/to/model.ckpt --resume_optim path/to/optim.ckpt
 
-# 2) sample the test set with the best checkpoint
-python main.py -c "$CONFIG" --sample_to_eval -r "$RESULT" \
-    --resume_model "$RUN"/checkpoint/top_model_epoch_*.ckpt
+#convert released reference weights (one-time; see also scripts/run_parity.py
+#for the full convert -> sample -> metric-delta protocol)
+#python3 scripts/convert_checkpoint.py bbdm -c configs/Template-LBBDM-f4.yaml -i last_model.pth -o last_model.ckpt
+#python3 scripts/convert_checkpoint.py vqgan -i vqgan.pth -o vqgan.ckpt
+#python3 scripts/convert_checkpoint.py vqgan-train -i vqgan.pth -o vqgan_train.ckpt --lpips-out lpips_vgg.ckpt
 
-# 3) metrics (FID needs BBDM_FID_WEIGHTS; LPIPS needs BBDM_LPIPS_WEIGHTS)
-EVAL="$RUN/sample_to_eval"
-python preprocess_and_evaluation.py -f rename_samples -r "$EVAL" -s 200 -t renamed
-python preprocess_and_evaluation.py -f rename_samples -r "$EVAL" -s ground_truth -t gt_renamed
-python preprocess_and_evaluation.py -f FID -s "$EVAL/200" -t "$EVAL/ground_truth"
-python preprocess_and_evaluation.py -f LPIPS -s "$EVAL/renamed" -t "$EVAL/gt_renamed" -n 5
-python preprocess_and_evaluation.py -f diversity -s "$EVAL/renamed" -n 5
+#preprocess and evaluation
+## rename
+#python3 preprocess_and_evaluation.py -f rename_samples -r root/dir -s source/dir -t target/dir
+
+## copy
+#python3 preprocess_and_evaluation.py -f copy_samples -r root/dir -s source/dir -t target/dir
+
+## LPIPS
+#python3 preprocess_and_evaluation.py -f LPIPS -s source/dir -t target/dir -n 1
+
+## max_min_LPIPS
+#python3 preprocess_and_evaluation.py -f max_min_LPIPS -s source/dir -t target/dir -n 1
+
+## diversity
+#python3 preprocess_and_evaluation.py -f diversity -s source/dir -n 1
+
+## fidelity (in-framework FID port; the reference shells out to `fidelity`)
+#python3 preprocess_and_evaluation.py -f FID -s path1 -t path2
+
+## PSNR/SSIM (weights-free)
+#python3 preprocess_and_evaluation.py -f psnr_ssim -s source/dir -t target/dir
