@@ -9,3 +9,6 @@ from bbdm_tpu.parallel.mesh import (  # noqa: F401
 from bbdm_tpu.parallel.distributed import (  # noqa: F401
     maybe_initialize_distributed,
 )
+from bbdm_tpu.parallel.tp import (  # noqa: F401
+    place_state,
+)

@@ -6,8 +6,11 @@ The TPU-native replacement for the reference's NCCL DDP stack
 Under jit, the global batch-mean loss makes XLA insert the gradient
 all-reduce over ICI — no hand-written collectives or process groups.
 
-The 'model' axis is reserved for tensor-parallel sharding of the UNet
-(size 1 by default — the ~240M-param model fits one chip, SURVEY.md §2.3).
+The 'model' axis carries tensor parallelism when `training.model_parallel`
+is set (parallel/tp.py: weight/moment/EMA leaves sharded over 'model',
+GSPMD inserts the TP collectives); size 1 by default — the ~240M-param
+model fits one chip (SURVEY.md §2.3), TP exists for bigger-than-chip
+variants and memory headroom.
 """
 
 from __future__ import annotations

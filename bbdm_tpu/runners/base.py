@@ -37,7 +37,7 @@ from flax import serialization
 from bbdm_tpu.checkpoints.io import load_checkpoint, save_checkpoint
 from bbdm_tpu.config import ConfigNode, save_config
 from bbdm_tpu.data import DataLoader, get_dataset
-from bbdm_tpu.parallel import make_mesh, replicate, shard_batch
+from bbdm_tpu.parallel import make_mesh, place_state, replicate, shard_batch
 from bbdm_tpu.runners.utils import make_dir, make_save_dirs, remove_file
 from bbdm_tpu.training import TrainState, make_eval_step, make_train_step
 from bbdm_tpu.training.state import zeros_like_tree
@@ -86,7 +86,10 @@ class BaseRunner(ABC):
             devices = jax.devices()[:n_mesh]
         else:
             devices = None
-        self.mesh = make_mesh(devices)
+        # training.model_parallel: tensor-parallel width over the mesh
+        # 'model' axis (parallel/tp.py); default 1 = pure data parallelism
+        self.model_parallel = int(config.training.get("model_parallel", 1) or 1)
+        self.mesh = make_mesh(devices, model_parallel=self.model_parallel)
         self.rng = jax.random.PRNGKey(config.args.seed)
         self.model = self.initialize_model(config)
         self.rng, init_rng = jax.random.split(self.rng)
@@ -364,7 +367,7 @@ class BaseRunner(ABC):
             f"start training {self.config.model.model_name} on "
             f"{self.config.data.dataset_name}, {epoch_length} iters per epoch"
         )
-        self.state = replicate(self.mesh, self.state)
+        self.state = place_state(self.mesh, self.state, self.model_parallel)
 
         training = self.config.training
         sample_every = max(int(training.sample_interval * epoch_length), 1)
@@ -557,7 +560,7 @@ class BaseRunner(ABC):
         _, val_loader, test_loader = self._build_loaders()
         if len(test_loader) == 0:
             test_loader = val_loader
-        self.state = replicate(self.mesh, self.state)
+        self.state = place_state(self.mesh, self.state, self.model_parallel)
         if self.config.args.sample_to_eval:
             self.sample_to_eval(test_loader, self.config.result.sample_to_eval_path)
         elif self.is_main_process:
