@@ -240,3 +240,22 @@ def test_model_parallel_runner_lifecycle(tmp_path):
     cfg2.model.model_load_path = ckpt
     runner2 = get_runner("BBDMRunner", cfg2)
     assert runner2.global_step == runner.global_step
+
+
+def test_model_parallel_vqgan_runner(tmp_path):
+    """The GAN trainer under DPxTP: GANTrainState (two optimizer states,
+    BatchNorm stats) goes through the same leaf-wise placement."""
+    import os
+
+    from bbdm_tpu.registry import get_runner
+    from tests.test_vqgan_training import make_single_image_dataset, make_vqgan_config
+
+    data = tmp_path / "data"
+    make_single_image_dataset(data)
+    cfg = make_vqgan_config(tmp_path / "results", data, mesh_devices=8,
+                            model_parallel=2, sample_interval=1)
+    runner = get_runner("VQGANRunner", cfg)
+    assert dict(runner.mesh.shape) == {"data": 4, "model": 2}
+    runner.train()
+    assert os.path.exists(
+        os.path.join(runner.config.result.ckpt_path, "last_model.ckpt"))
