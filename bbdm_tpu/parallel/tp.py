@@ -27,7 +27,6 @@ device mesh in tests/test_sharding.py.
 from __future__ import annotations
 
 import jax
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from bbdm_tpu.parallel.mesh import replicate
@@ -60,23 +59,8 @@ def place_state(mesh: Mesh, tree, model_parallel: int = 1):
             f"{jax.local_device_count()} local devices) and data "
             "parallelism across hosts")
 
-    def put(x):
-        if not hasattr(x, "ndim"):
-            return x
-        return jax.device_put(
-            x, NamedSharding(mesh, leaf_spec(x, model_parallel)))
-
-    return jax.tree_util.tree_map(put, tree)
-
-
-def sharded_param_bytes_per_device(tree, model_size: int) -> int:
-    """Diagnostic: per-device bytes of the sharded leaves under the policy."""
-    total = 0
-    for leaf in jax.tree_util.tree_leaves(tree):
-        if not hasattr(leaf, "ndim"):
-            continue
-        nbytes = int(np.prod(leaf.shape)) * leaf.dtype.itemsize if leaf.ndim else leaf.dtype.itemsize
-        if leaf_spec(leaf, model_size) != P():
-            nbytes //= model_size
-        total += nbytes
-    return total
+    # one tree-level device_put (not per-leaf): through the axon tunnel each
+    # dispatch costs ~1ms and a full TrainState has hundreds of leaves
+    shardings = jax.tree_util.tree_map(
+        lambda x: NamedSharding(mesh, leaf_spec(x, model_parallel)), tree)
+    return jax.device_put(tree, shardings)
