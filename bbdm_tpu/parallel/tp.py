@@ -1,27 +1,36 @@
-"""Tensor-parallel state placement over the mesh 'model' axis.
+"""Tensor-parallel / FSDP state placement over the mesh axes.
 
 The reference scales only by data parallelism (NCCL DDP,
 `/root/reference/main.py:100-104`); on TPU the same `Mesh(('data','model'))`
-also carries tensor parallelism the GSPMD way (the scaling-book recipe):
-annotate the PARAMETER shardings and let XLA propagate them through the
-computation and insert the collectives (all-gathers / reduce-scatters over
-ICI) — no hand-written layer splits.
+also carries tensor parallelism and fully-sharded data parallelism the GSPMD
+way (the scaling-book recipe): annotate the PARAMETER shardings and let XLA
+propagate them through the computation and insert the collectives
+(all-gathers / reduce-scatters over ICI) — no hand-written layer splits.
 
-Policy (`training.model_parallel: N` in the config, default 1 = pure DP):
+Tensor parallelism (`training.model_parallel: N`, default 1 = pure DP):
 every weight matrix/kernel whose last (output-feature) dimension divides N
 is sharded over 'model' on that dimension — conv kernels [H,W,I,O] on O,
 dense kernels [I,O] on O; everything else (biases, norm scales, counters,
-latent stats, small embeddings) stays replicated. Optimizer moments, EMA
-and gradient-accumulation buffers follow their parameter's sharding because
-the same rule is applied leaf-wise to the whole TrainState (moments share
-the parameter shapes).
+latent stats, small embeddings) stays replicated.
+
+FSDP (`training.fsdp: true`): every state leaf is additionally sharded over
+the 'data' axis on its LARGEST remaining divisible dimension (conv kernels
+on I when 'model' holds O, biases on their only dimension, …) — the
+ZeRO-3 layout: per-chip param+moment+EMA memory drops by ~the data-axis
+width, and GSPMD turns the DP gradient all-reduce into reduce-scatter +
+per-layer all-gathers of the param shards on use. Leaves with no divisible
+dimension stay replicated.
+
+Optimizer moments, EMA and gradient-accumulation buffers follow their
+parameter's sharding because the same rule is applied leaf-wise to the whole
+TrainState (moments share the parameter shapes).
 
 Correctness does not depend on the choice — GSPMD reshards as needed — so
 the rule is deliberately simple; it exists to keep the big conv weights and
-their optimizer moments distributed (param memory / N per chip) and to give
-XLA the layout from which the standard TP collective pattern falls out.
-Numerical equality with the replicated path is asserted on an 8-virtual-
-device mesh in tests/test_sharding.py.
+their optimizer moments distributed and to give XLA the layout from which
+the standard TP/FSDP collective patterns fall out. Numerical equality with
+the replicated path is asserted on an 8-virtual-device mesh in
+tests/test_sharding.py.
 """
 
 from __future__ import annotations
@@ -32,35 +41,53 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from bbdm_tpu.parallel.mesh import replicate
 
 
-def leaf_spec(leaf, model_size: int) -> P:
-    """PartitionSpec for one state leaf under model-parallel width N."""
+def leaf_spec(leaf, model_size: int, fsdp_size: int = 1) -> P:
+    """PartitionSpec for one state leaf under model-parallel width N and
+    (optionally) FSDP over the 'data' axis of width fsdp_size."""
     ndim = getattr(leaf, "ndim", None)
     shape = getattr(leaf, "shape", None)
     if not ndim or not shape:  # scalars / None / non-arrays
         return P()
-    if ndim >= 2 and shape[-1] % model_size == 0 and shape[-1] >= model_size:
-        return P(*([None] * (ndim - 1) + ["model"]))
-    return P()
+    axes = [None] * ndim
+    if (model_size > 1 and ndim >= 2
+            and shape[-1] % model_size == 0 and shape[-1] >= model_size):
+        axes[-1] = "model"
+    if fsdp_size > 1:
+        candidates = [
+            d for d in range(ndim)
+            if axes[d] is None and shape[d] % fsdp_size == 0 and shape[d] >= fsdp_size
+        ]
+        if candidates:
+            # largest dim first, earliest on ties — keeps the big conv
+            # input/output-feature dims distributed, not the 3x3 spatial taps
+            axes[max(candidates, key=lambda d: shape[d])] = "data"
+    if not any(axes):
+        return P()
+    return P(*axes)
 
 
-def place_state(mesh: Mesh, tree, model_parallel: int = 1):
-    """Place a TrainState pytree on the mesh: replicated for pure DP, or with
-    weight/moment leaves sharded over 'model' when model_parallel > 1."""
-    if model_parallel <= 1:
+def place_state(mesh: Mesh, tree, model_parallel: int = 1, fsdp: bool = False):
+    """Place a TrainState pytree on the mesh: replicated for pure DP, with
+    weight/moment leaves sharded over 'model' when model_parallel > 1, and/or
+    over 'data' (ZeRO-3 layout) when fsdp is set."""
+    fsdp_size = mesh.shape.get("data", 1) if fsdp else 1
+    if model_parallel <= 1 and fsdp_size <= 1:
         return replicate(mesh, tree)
     if len({d.process_index for d in mesh.devices.flat}) > 1:
-        # device_get/device_put of model-sharded values is not addressable
-        # across processes; multi-host TP would need allgather plumbing in
-        # the sampling/checkpoint paths — out of scope (the reference model
-        # fits one chip; TP exists for bigger-than-chip variants)
+        # device_get/device_put of model/fsdp-sharded values is not
+        # addressable across processes; multi-host TP/FSDP would need
+        # allgather plumbing in the sampling/checkpoint paths — out of scope
+        # (the reference model fits one chip; these exist for
+        # bigger-than-chip variants)
         raise NotImplementedError(
-            "model_parallel > 1 on a multi-host mesh is not supported; "
-            "use tensor parallelism within one host (up to "
-            f"{jax.local_device_count()} local devices) and data "
+            "model_parallel > 1 / fsdp on a multi-host mesh is not "
+            "supported; use them within one host (up to "
+            f"{jax.local_device_count()} local devices) and plain data "
             "parallelism across hosts")
 
     # one tree-level device_put (not per-leaf): through the axon tunnel each
     # dispatch costs ~1ms and a full TrainState has hundreds of leaves
     shardings = jax.tree_util.tree_map(
-        lambda x: NamedSharding(mesh, leaf_spec(x, model_parallel)), tree)
+        lambda x: NamedSharding(mesh, leaf_spec(x, model_parallel, fsdp_size)),
+        tree)
     return jax.device_put(tree, shardings)

@@ -87,8 +87,11 @@ class BaseRunner(ABC):
         else:
             devices = None
         # training.model_parallel: tensor-parallel width over the mesh
-        # 'model' axis (parallel/tp.py); default 1 = pure data parallelism
+        # 'model' axis (parallel/tp.py); default 1 = pure data parallelism.
+        # training.fsdp: additionally shard params/moments/EMA over the
+        # 'data' axis (ZeRO-3 layout, same file)
         self.model_parallel = int(config.training.get("model_parallel", 1) or 1)
+        self.fsdp = bool(config.training.get("fsdp", False))
         self.mesh = make_mesh(devices, model_parallel=self.model_parallel)
         self.rng = jax.random.PRNGKey(config.args.seed)
         self.model = self.initialize_model(config)
@@ -367,7 +370,11 @@ class BaseRunner(ABC):
             f"start training {self.config.model.model_name} on "
             f"{self.config.data.dataset_name}, {epoch_length} iters per epoch"
         )
-        self.state = place_state(self.mesh, self.state, self.model_parallel)
+        self.logger(
+            f"mesh {dict(self.mesh.shape)} | model_parallel={self.model_parallel}"
+            f" | fsdp={'on (ZeRO-3 state layout)' if self.fsdp else 'off'}"
+        )
+        self.state = place_state(self.mesh, self.state, self.model_parallel, self.fsdp)
 
         training = self.config.training
         sample_every = max(int(training.sample_interval * epoch_length), 1)
@@ -560,7 +567,7 @@ class BaseRunner(ABC):
         _, val_loader, test_loader = self._build_loaders()
         if len(test_loader) == 0:
             test_loader = val_loader
-        self.state = place_state(self.mesh, self.state, self.model_parallel)
+        self.state = place_state(self.mesh, self.state, self.model_parallel, self.fsdp)
         if self.config.args.sample_to_eval:
             self.sample_to_eval(test_loader, self.config.result.sample_to_eval_path)
         elif self.is_main_process:

@@ -135,6 +135,61 @@ def test_tensor_parallel_step_equality():
     assert "TP-SHARDING-OK" in res.stdout, f"stdout:\n{res.stdout}\nstderr:\n{res.stderr[-3000:]}"
 
 
+_FSDP_SCRIPT = _PRELUDE + r"""
+# the FSDP policy shards leaves the TP policy leaves replicated (biases,
+# conv input-feature dims) over 'data'
+n_fsdp = sum(1 for l in jax.tree_util.tree_leaves(params)
+             if leaf_spec(l, 1, 8) != P())
+n_tp4 = sum(1 for l in jax.tree_util.tree_leaves(params)
+            if leaf_spec(l, 4) != P())
+assert n_fsdp > n_tp4 > 0, (n_fsdp, n_tp4)
+
+# 8-way FSDP (ZeRO-3 layout): same math as the replicated-state DP step
+mesh8 = make_mesh(jax.devices())
+g8 = grad_fn(place_state(mesh8, params, 1, fsdp=True), rng,
+             shard_batch(mesh8, x), shard_batch(mesh8, y))
+s8 = place_state(mesh8, fresh_state(), 1, fsdp=True)
+
+# per-chip memory actually drops: a sharded leaf's addressable shard is 1/8
+big = max(jax.tree_util.tree_leaves(s8.params), key=lambda l: l.size)
+assert not big.sharding.is_fully_replicated
+shard_sz = big.addressable_shards[0].data.size
+assert shard_sz * 8 == big.size, (shard_sz, big.size)
+
+s8, m8 = jax.jit(step_fn)(s8, shard_batch(mesh8, x), shard_batch(mesh8, y), rng)
+
+np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-4, atol=1e-6)
+for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g8)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-5)
+# post-Adam params match the single-device step (tolerances as in the TP test)
+for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                jax.tree_util.tree_leaves(s8.params)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-4)
+
+# FSDP composes with TP: 2-way data(fsdp) x 4-way model
+mesh24 = make_mesh(jax.devices(), model_parallel=4)
+s24 = place_state(mesh24, fresh_state(), 4, fsdp=True)
+s24, m24 = jax.jit(step_fn)(s24, shard_batch(mesh24, x), shard_batch(mesh24, y), rng)
+np.testing.assert_allclose(float(m1["loss"]), float(m24["loss"]), rtol=1e-4, atol=1e-6)
+for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                jax.tree_util.tree_leaves(s24.params)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-4)
+print("FSDP-SHARDING-OK")
+"""
+
+
+def test_fsdp_step_equality():
+    """training.fsdp: the ZeRO-3 layout (params/moments/EMA sharded over
+    'data', parallel/tp.py) must produce the same loss/grads/post-Adam params
+    as the replicated single-device step, shrink the per-chip shard of the
+    big leaves 8x, and compose with model_parallel."""
+    res = subprocess.run(
+        [sys.executable, "-c", _FSDP_SCRIPT],
+        capture_output=True, text=True, timeout=900, cwd="/root/repo",
+    )
+    assert "FSDP-SHARDING-OK" in res.stdout, f"stdout:\n{res.stdout}\nstderr:\n{res.stderr[-3000:]}"
+
+
 def test_sharded_eval_sampling_matches_single_device(tmp_path):
     """sample_to_eval with the batch sharded over 8 virtual devices produces
     the same samples as the single-device run (same seed/RNG stream) — the
@@ -200,6 +255,37 @@ def test_model_parallel_runner_lifecycle(tmp_path):
 
     # resume from the TP-written checkpoint on a pure-DP mesh: the on-disk
     # contract is layout-free
+    cfg2 = make_config(tmp_path, data, mesh_devices=1, n_epochs=1)
+    cfg2.args = make_args(tmp_path / "results2", resume_model=ckpt)
+    cfg2.model.model_load_path = ckpt
+    runner2 = get_runner("BBDMRunner", cfg2)
+    assert runner2.global_step == runner.global_step
+
+
+def test_fsdp_runner_lifecycle(tmp_path):
+    """training.fsdp: true through the FULL runner lifecycle on the
+    8-virtual-device mesh — train (grad accumulation over fsdp-sharded
+    buffers), mid-train sampling, checkpointing (device_get of data-sharded
+    leaves), and resume of the fsdp-written checkpoint on a plain-DP mesh
+    (the on-disk contract is layout-free)."""
+    import os
+
+    from bbdm_tpu.registry import get_runner
+    from tests.test_integration import make_aligned_dataset, make_args, make_config
+
+    data = tmp_path / "data"
+    make_aligned_dataset(str(data))
+    cfg = make_config(tmp_path, data, mesh_devices=8, fsdp=True,
+                      n_epochs=1, sample_interval=1)
+    cfg.args = make_args(tmp_path / "results")
+    runner = get_runner("BBDMRunner", cfg)
+    assert runner.fsdp and dict(runner.mesh.shape) == {"data": 8, "model": 1}
+    runner.train()
+    assert runner.global_step >= 1
+    ckpt = os.path.join(runner.config.result.ckpt_path, "last_model.ckpt")
+    assert os.path.exists(ckpt)
+    assert os.path.isdir(os.path.join(runner.config.result.image_path, "1"))
+
     cfg2 = make_config(tmp_path, data, mesh_devices=1, n_epochs=1)
     cfg2.args = make_args(tmp_path / "results2", resume_model=ckpt)
     cfg2.model.model_load_path = ckpt
