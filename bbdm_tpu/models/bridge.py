@@ -53,6 +53,12 @@ class BrownianBridgeModel:
         self.sample_step = bb.sample_step
         self.loss_type = bb.loss_type
         self.objective = bb.objective
+        # extension knob (no reference equivalent): 'euler' is the reference
+        # posterior step; 'heun' adds a second-order corrector (two UNet
+        # evals/step) for few-step sampling — see _p_sample_scan_heun
+        self.sampler = bb.get("sampler", "euler")
+        if self.sampler not in ("euler", "heun"):
+            raise NotImplementedError(f"sampler {self.sampler!r}")
         self.condition_key = bb.UNetParams.condition_key
         self.image_size = bb.UNetParams.image_size
         self.channels = bb.UNetParams.out_channels
@@ -261,6 +267,12 @@ class BrownianBridgeModel:
                 params,
             )
 
+        if self.sampler == "heun":
+            return self._p_sample_scan_heun(
+                params, rng, y, context,
+                clip_denoised=clip_denoised, sample_mid_step=sample_mid_step,
+            )
+
         c = self.coeffs
         xs = {
             "t": jnp.asarray(c.steps),
@@ -294,6 +306,74 @@ class BrownianBridgeModel:
         (x_final, _), mids = jax.lax.scan(body, (y, rng), xs)
         if sample_mid_step:
             return mids  # (imgs [S,B,H,W,C], one_step_imgs [S,B,H,W,C])
+        return x_final
+
+    def _p_sample_scan_heun(self, params, rng, y, context, *, clip_denoised,
+                            sample_mid_step):
+        """Second-order reverse sampler (extension; no reference equivalent).
+
+        The reference step uses x0_hat(x_t, t) across the whole [t -> nt]
+        interval (first-order in the step size). Heun's corrector: take the
+        deterministic proposal to nt, re-predict x0 there, and redo the step
+        from x_t with the AVERAGE of the two x0 estimates — the update is
+        linear in x0_hat, so the corrected step reuses the same precomputed
+        coefficients. Noise (eta) is added once, after the corrector. Two UNet
+        evals per step: at matched NFE (heun at S/2 vs euler at S) the
+        integration error is strictly smaller (tests/test_heun_sampler.py),
+        which is what enables few-step sampling.
+
+        The terminal t == 0 entry of the grid just returns x0_hat
+        (reference `:174-180`); it runs outside the scan with a single eval.
+        """
+        import numpy as np  # host-side schedule slicing
+
+        c = self.coeffs
+        steps = np.asarray(c.steps)
+        m = np.asarray(self.schedule.m_t)
+        sig = np.sqrt(np.asarray(self.schedule.variance_t))
+        nts = steps[1:]
+        xs = {
+            "t": jnp.asarray(steps[:-1]),
+            "nt": jnp.asarray(nts.astype(np.int32)),
+            "a_xt": jnp.asarray(c.a_xt[:-1]),
+            "a_x0": jnp.asarray(c.a_x0[:-1]),
+            "a_y": jnp.asarray(c.a_y[:-1]),
+            "sigma": jnp.asarray(c.sigma[:-1]),
+            "m_t": jnp.asarray(c.m_t[:-1]),
+            "sigma_fwd": jnp.asarray(c.sigma_fwd[:-1]),
+            "m_nt": jnp.asarray(m[nts]),
+            "sigma_fwd_nt": jnp.asarray(sig[nts]),
+        }
+        B = y.shape[0]
+
+        def predict(x, y, t_scalar, m_t, sigma_t):
+            t = jnp.full((B,), t_scalar, jnp.int32)
+            pred = self.denoise(params, x, t, context).astype(y.dtype)
+            x0 = self.predict_x0_from_objective(x, y, pred, m_t=m_t, sigma_t=sigma_t)
+            return jnp.clip(x0, -1.0, 1.0) if clip_denoised else x0
+
+        def body(carry, step):
+            x_t, rng = carry
+            rng, step_rng = jax.random.split(rng)
+            x0_a = predict(x_t, y, step["t"], step["m_t"], step["sigma_fwd"])
+            proposal = step["a_xt"] * x_t + step["a_x0"] * x0_a + step["a_y"] * y
+            x0_b = predict(proposal, y, step["nt"], step["m_nt"], step["sigma_fwd_nt"])
+            x0_eff = 0.5 * (x0_a + x0_b)
+            noise = jax.random.normal(step_rng, x_t.shape, x_t.dtype)
+            x_next = (
+                step["a_xt"] * x_t + step["a_x0"] * x0_eff + step["a_y"] * y
+                + step["sigma"] * noise
+            )
+            out = (x_next, x0_eff) if sample_mid_step else None
+            return (x_next, rng), out
+
+        (x_last, _), mids = jax.lax.scan(body, (y, rng), xs)
+        # terminal grid entry (t == 0): return x0_hat
+        x_final = predict(x_last, y, steps[-1], float(m[steps[-1]]),
+                          float(sig[steps[-1]]))
+        if sample_mid_step:
+            tail = lambda seq: jnp.concatenate([seq, x_final[None]], axis=0)
+            return tail(mids[0]), tail(mids[1])  # same [S,...] contract as euler
         return x_final
 
     def sample(self, params, rng, y, context=None, *, clip_denoised=True,
