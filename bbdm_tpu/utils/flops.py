@@ -133,10 +133,16 @@ def vqgan_flops(vq_params, *, encode: bool = True, decode: bool = True) -> float
 
 
 def sampling_flops_per_image(model_config) -> float:
-    """Total FLOPs to draw one sample (N UNet steps + VQGAN encode/decode)."""
+    """Total FLOPs to draw one sample (NFE UNet evals + VQGAN encode/decode).
+
+    NFE: one eval per grid step for the reference/euler sampler; the heun
+    sampler (models/bridge.py) runs two evals per non-terminal step plus the
+    terminal one, 2(S-1)+1.
+    """
     bb = model_config.BB.params
     steps = bb.sample_step if bb.skip_sample else bb.num_timesteps
-    f = steps * unet_forward_flops(bb.UNetParams)
+    nfe = 2 * (steps - 1) + 1 if bb.get("sampler", "euler") == "heun" else steps
+    f = nfe * unet_forward_flops(bb.UNetParams)
     if model_config.model_type == "LBBDM":
         f += vqgan_flops(model_config.VQGAN.params)
     return f

@@ -49,6 +49,10 @@ def main():
     # BENCH_STEPS overrides sample_step for CI smoke runs (full 200 by default)
     if "BENCH_STEPS" in os.environ:
         config.model.BB.params.sample_step = int(os.environ["BENCH_STEPS"])
+    # BENCH_SAMPLER=heun benches the second-order sampler (2 UNet evals/step;
+    # the FLOP counter accounts for the NFE). Default: the reference protocol.
+    if "BENCH_SAMPLER" in os.environ:
+        config.model.BB.params.sampler = os.environ["BENCH_SAMPLER"]
     model = build_model(config.model)
     params = model.init_params(jax.random.PRNGKey(0))
 
@@ -94,8 +98,10 @@ def main():
     achieved = samples_per_sec * flops_per_sample
 
     steps = config.model.BB.params.sample_step
+    sampler = config.model.BB.params.get("sampler", "euler")
+    tag = "" if sampler == "euler" else f" ({sampler})"
     print(json.dumps({
-        "metric": f"LBBDM-f4 256x256 {steps}-step sampling",
+        "metric": f"LBBDM-f4 256x256 {steps}-step sampling{tag}",
         "value": round(samples_per_sec, 4),
         "unit": "samples/sec/chip",
         "vs_baseline": round(vs_baseline, 3),
