@@ -66,6 +66,15 @@ def main():
 
     maybe_initialize_distributed()
 
+    # BBDM_BACKEND_WAIT=<seconds>: wait out transient TPU-service
+    # unavailability (client-claim expiry, service restart) instead of
+    # crashing at startup; default off = fail fast like the reference
+    backend_wait = float(os.environ.get("BBDM_BACKEND_WAIT", "0"))
+    if backend_wait > 0:
+        from bbdm_tpu.utils.backend import wait_for_backend
+
+        wait_for_backend(backend_wait)
+
     # persistent compilation cache: restarts/resumes skip recompiling the
     # train step and sampler (disable with BBDM_JAX_CACHE=0)
     if os.environ.get("BBDM_JAX_CACHE", "1") != "0":
