@@ -39,6 +39,15 @@ def main():
                       os.environ.get("JAX_CACHE_DIR", "/tmp/bbdm_jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
+    # wait out transient TPU-service unavailability (client-claim expiry,
+    # service restarts) before touching the device — BENCH_BACKEND_WAIT=0
+    # restores fail-fast
+    from bbdm_tpu.utils.backend import wait_for_backend
+
+    backend_wait = float(os.environ.get("BENCH_BACKEND_WAIT", "1800"))
+    if backend_wait > 0:
+        wait_for_backend(backend_wait, interval_sec=120.0)
+
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     config_path = os.environ.get("BENCH_CONFIG", "configs/Template-LBBDM-f4.yaml")
 

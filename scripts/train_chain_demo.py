@@ -58,6 +58,13 @@ def main():
                       os.environ.get("JAX_CACHE_DIR", "/tmp/bbdm_jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
+    if not args.cpu:
+        from bbdm_tpu.utils.backend import wait_for_backend
+
+        wait = float(os.environ.get("BBDM_BACKEND_WAIT", "1800"))
+        if wait > 0:
+            wait_for_backend(wait, interval_sec=120.0)
+
     from bbdm_tpu.config import load_config
     from bbdm_tpu.registry import get_runner
 
