@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--lbbdm-config", default="configs/runs/LBBDM-f4-syn256.yaml")
     ap.add_argument("--skip-vqgan", default=None,
                     help="existing first-stage ckpt; skips phase A")
+    ap.add_argument("--epochs-a", type=int, default=None,
+                    help="cap phase-A n_epochs (time-box long configs)")
+    ap.add_argument("--epochs-b", type=int, default=None,
+                    help="cap phase-B n_epochs (time-box long configs)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -65,7 +69,7 @@ def main():
         if wait > 0:
             wait_for_backend(wait, interval_sec=120.0)
 
-    from bbdm_tpu.config import load_config
+    from bbdm_tpu.config import apply_cli_overrides, load_config
     from bbdm_tpu.registry import get_runner
 
     # ---------------- phase A: first-stage VQGAN training ----------------
@@ -75,7 +79,7 @@ def main():
     else:
         print("[chain] phase A: VQGAN-f4 first-stage training", flush=True)
         cfg_a = load_config(args.vqgan_config)
-        cfg_a.args = make_args(args.result)
+        apply_cli_overrides(cfg_a, make_args(args.result, max_epoch=args.epochs_a))
         runner_a = get_runner(cfg_a.runner, cfg_a)
         runner_a.train()
         vq_ckpt = os.path.join(runner_a.config.result.ckpt_path, "last_model.ckpt")
@@ -89,7 +93,7 @@ def main():
     cfg_b = load_config(args.lbbdm_config)
     cfg_b.model.VQGAN.params.ckpt_path = vq_ckpt
     cfg_b.model.model_name = "LBBDM-f4-chain"
-    cfg_b.args = make_args(args.result)
+    apply_cli_overrides(cfg_b, make_args(args.result, max_epoch=args.epochs_b))
     runner_b = get_runner(cfg_b.runner, cfg_b)
     runner_b.train()
     bridge_ckpt = os.path.join(runner_b.config.result.ckpt_path, "last_model.ckpt")
@@ -104,7 +108,7 @@ def main():
     cfg_c.model.model_name = "LBBDM-f4-chain"
     cfg_c.model.model_load_path = bridge_ckpt
     cfg_c.testing.sample_num = 1
-    cfg_c.args = make_args(args.result, train=False, sample_to_eval=True)
+    apply_cli_overrides(cfg_c, make_args(args.result, train=False, sample_to_eval=True))
     runner_c = get_runner(cfg_c.runner, cfg_c)
     runner_c.test()
     eval_root = runner_c.config.result.sample_to_eval_path

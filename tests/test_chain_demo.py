@@ -41,6 +41,9 @@ def test_chain_demo_cpu(tmp_path):
             "--result", str(tmp_path / "results"),
             "--vqgan-config", os.path.join(REPO, "configs/runs/VQGAN-smoke-cpu.yaml"),
             "--lbbdm-config", os.path.join(REPO, "configs/runs/LBBDM-smoke-cpu.yaml"),
+            # the time-boxing caps (smoke configs say n_epochs=2; cap to 1)
+            "--epochs-a", "1",
+            "--epochs-b", "1",
         ],
         cwd=str(tmp_path),
         env=env,
@@ -58,6 +61,12 @@ def test_chain_demo_cpu(tmp_path):
     # both phases left their checkpoints where phase C found them
     assert os.path.exists(report["vq_ckpt"])
     assert os.path.exists(report["bridge_ckpt"])
+
+    # --epochs-a/--epochs-b capped both phases (configs say n_epochs=2)
+    from bbdm_tpu.checkpoints.io import load_checkpoint
+
+    assert int(load_checkpoint(report["vq_ckpt"])["epoch"]) == 1
+    assert int(load_checkpoint(report["bridge_ckpt"])["epoch"]) == 1
 
     # the sample_to_eval directory contract produced comparable image sets
     for key in ("sample_vs_gt", "condition_vs_gt_floor"):
