@@ -16,14 +16,46 @@ from PIL import Image
 
 _USE_NATIVE = os.environ.get("BBDM_NATIVE", "1") != "0"
 
+# Process-wide decoded-image cache (see ``load_image(cache=True)``). Plain
+# dict: CPython dict get/set are atomic under the GIL, so concurrent loader
+# threads at worst decode the same image twice before one wins — benign.
+_RAM_CACHE: dict = {}
 
-def load_image(path: str, image_size: tuple[int, int], flip: bool, to_normal: bool) -> np.ndarray:
+
+def clear_image_cache() -> None:
+    _RAM_CACHE.clear()
+
+
+def load_image(path: str, image_size: tuple[int, int], flip: bool, to_normal: bool,
+               cache: bool = False) -> np.ndarray:
     """Decode -> RGB -> resize (H,W) -> [0,1] float32 HWC; optional flip/normalize.
 
     The resample/flip/normalize pass runs in the fastimage C++ extension when
     available (PIL-compatible triangle-filter resampling, single fused pass);
     set BBDM_NATIVE=0 to force the PIL path.
+
+    ``cache=True`` memoizes the finished fp32 array process-wide, keyed by the
+    full argument tuple, and returns it write-protected (consumers must copy
+    before mutating — all in-tree datasets already derive new arrays). This
+    exists because the 1-core host's PNG decode can starve the TPU: a 256^2
+    epoch that decodes from disk every step is input-bound, while the decoded
+    set is tiny (~0.75 MB/image fp32). Opt in per dataset with
+    ``dataset_config.cache_in_ram: true``.
     """
+    if cache:
+        key = (path, tuple(image_size), flip, to_normal)
+        hit = _RAM_CACHE.get(key)
+        if hit is not None:
+            return hit
+    arr = _load_image_uncached(path, image_size, flip, to_normal)
+    if cache:
+        arr.setflags(write=False)
+        _RAM_CACHE[key] = arr
+    return arr
+
+
+def _load_image_uncached(path: str, image_size: tuple[int, int], flip: bool,
+                         to_normal: bool) -> np.ndarray:
     img = Image.open(path)
     if img.mode != "RGB":
         img = img.convert("RGB")
@@ -45,12 +77,14 @@ def load_image(path: str, image_size: tuple[int, int], flip: bool, to_normal: bo
 
 
 class ImagePathDataset:
-    def __init__(self, image_paths, image_size=(256, 256), flip=False, to_normal=False):
+    def __init__(self, image_paths, image_size=(256, 256), flip=False, to_normal=False,
+                 cache=False):
         self.image_paths = list(image_paths)
         self.image_size = tuple(image_size)
         self._length = len(self.image_paths)
         self.flip = flip
         self.to_normal = to_normal
+        self.cache = cache
 
     def __len__(self):
         return self._length * 2 if self.flip else self._length
@@ -61,5 +95,6 @@ class ImagePathDataset:
             index -= self._length
             do_flip = True
         path = self.image_paths[index]
-        img = load_image(path, self.image_size, do_flip, self.to_normal)
+        img = load_image(path, self.image_size, do_flip, self.to_normal,
+                         cache=self.cache)
         return img, Path(path).stem

@@ -35,7 +35,9 @@ class CustomSingleDataset:
         size = (dataset_config.image_size, dataset_config.image_size)
         paths = get_image_paths_from_dir(os.path.join(dataset_config.dataset_path, stage))
         flip = dataset_config.flip if stage == "train" else False
-        self.imgs = ImagePathDataset(paths, size, flip=flip, to_normal=dataset_config.to_normal)
+        cache = getattr(dataset_config, "cache_in_ram", False)
+        self.imgs = ImagePathDataset(paths, size, flip=flip,
+                                     to_normal=dataset_config.to_normal, cache=cache)
 
     def __len__(self):
         return len(self.imgs)
@@ -56,10 +58,13 @@ class CustomAlignedDataset:
         paths_cond = get_image_paths_from_dir(
             os.path.join(dataset_config.dataset_path, f"{stage}/A"))
         flip = dataset_config.flip if stage == "train" else False
+        cache = getattr(dataset_config, "cache_in_ram", False)
         self.imgs_ori = ImagePathDataset(paths_ori, size, flip=flip,
-                                         to_normal=dataset_config.to_normal)
+                                         to_normal=dataset_config.to_normal,
+                                         cache=cache)
         self.imgs_cond = ImagePathDataset(paths_cond, size, flip=flip,
-                                          to_normal=dataset_config.to_normal)
+                                          to_normal=dataset_config.to_normal,
+                                          cache=cache)
 
     def __len__(self):
         return len(self.imgs_ori)
@@ -77,6 +82,7 @@ class _FlipDoubledPaths:
             os.path.join(dataset_config.dataset_path, stage))
         self.flip = dataset_config.flip if stage == "train" else False
         self.to_normal = dataset_config.to_normal
+        self.cache = getattr(dataset_config, "cache_in_ram", False)
         self._length = len(self.image_paths)
 
     def __len__(self):
@@ -99,7 +105,8 @@ class CustomColorizationRGBDataset(_FlipDoubledPaths):
     def __getitem__(self, index):
         index, do_flip = self.resolve(index)
         path = self.image_paths[index]
-        img = load_image(path, self.image_size, do_flip, self.to_normal)
+        img = load_image(path, self.image_size, do_flip, self.to_normal,
+                         cache=self.cache)
         # luminance (ITU-R 601), matching PIL Image.convert('L')
         lum = img if not self.to_normal else (img + 1.0) / 2.0
         L = lum[..., 0] * 0.299 + lum[..., 1] * 0.587 + lum[..., 2] * 0.114
@@ -157,7 +164,8 @@ class CustomInpaintingDataset(_FlipDoubledPaths):
         orig_index = index
         index, do_flip = self.resolve(index)
         path = self.image_paths[index]
-        img = load_image(path, self.image_size, do_flip, self.to_normal)
+        img = load_image(path, self.image_size, do_flip, self.to_normal,
+                         cache=self.cache)
 
         h, w = self.image_size
         rng = np.random.RandomState((self.mask_seed * 1_000_003 + orig_index) % (2**31))

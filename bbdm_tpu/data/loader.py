@@ -18,6 +18,12 @@ inpainting masks in `data/custom.py`). A dataset mutating shared state in
 ``__getitem__`` must be constructed with ``num_workers=0`` (or made
 thread-safe); epoch-level mutation belongs in ``set_epoch_seed``, which is
 only ever called between epochs from the consumer thread.
+
+IN-RAM DECODE CACHE: ``dataset_config.cache_in_ram: true`` memoizes decoded
+fp32 images process-wide (`data/base.py:load_image`), serving repeat epochs
+from RAM. The cached arrays are write-protected; ``_collate``'s ``np.stack``
+copies them into fresh batch buffers, so consumers never see the cache
+aliased. Cost: ~HxWx3x4 bytes per distinct (image, flip) variant.
 """
 
 from __future__ import annotations

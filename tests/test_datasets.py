@@ -186,3 +186,67 @@ def test_loader_parallel_decode_deterministic(image_root):
         np.testing.assert_array_equal(a["x"], b["x"])
         np.testing.assert_array_equal(a["x_cond"], b["x_cond"])
         assert a["x_name"] == b["x_name"]
+
+
+def _cfg_cached(root, flip=False, size=16):
+    cfg = _cfg(root, flip=flip, size=size)
+    cfg.cache_in_ram = True
+    return cfg
+
+
+def test_cache_in_ram_bit_identical_and_write_protected(image_root):
+    """cache_in_ram serves decoded arrays from RAM: bit-identical to the
+    uncached path, write-protected, and the repeat access is a memo hit."""
+    from bbdm_tpu.data.base import clear_image_cache
+
+    clear_image_cache()
+    cold = Registers.datasets["custom_aligned"](_cfg(image_root / "aligned"),
+                                                stage="train")
+    hot = Registers.datasets["custom_aligned"](_cfg_cached(image_root / "aligned"),
+                                               stage="train")
+    for i in range(len(cold)):
+        (x0, _), (c0, _) = cold[i]
+        (x1, _), (c1, _) = hot[i]
+        np.testing.assert_array_equal(x0, x1)
+        np.testing.assert_array_equal(c0, c1)
+
+    (x1, _), _ = hot[0]
+    (x2, _), _ = hot[0]
+    assert x1 is x2  # memo hit returns the same array object
+    assert not x1.flags.writeable  # read-only contract
+    with np.testing.assert_raises(ValueError):
+        x1[0, 0, 0] = 0.0
+    clear_image_cache()
+
+
+def test_cache_in_ram_keys_flip_variants_separately(image_root):
+    from bbdm_tpu.data.base import clear_image_cache
+
+    clear_image_cache()
+    ds = Registers.datasets["custom_single"](
+        _cfg_cached(image_root / "flat", flip=True), stage="train")
+    n = len(ds) // 2
+    (plain, _), _ = ds[0]
+    (flipped, _), _ = ds[n]
+    np.testing.assert_array_equal(plain[:, ::-1, :], flipped)
+    assert plain is not flipped
+    clear_image_cache()
+
+
+def test_cache_in_ram_through_loader_matches_uncached(image_root):
+    """Whole-pipeline check: batches through the threaded DataLoader are
+    identical with and without the RAM cache."""
+    from bbdm_tpu.data.base import clear_image_cache
+    from bbdm_tpu.data.loader import DataLoader
+
+    clear_image_cache()
+    mk = Registers.datasets["custom_aligned"]
+    cold = DataLoader(mk(_cfg(image_root / "aligned"), stage="val"),
+                      batch_size=2, shuffle=False, drop_last=False)
+    hot = DataLoader(mk(_cfg_cached(image_root / "aligned"), stage="val"),
+                     batch_size=2, shuffle=False, drop_last=False)
+    for _ in range(2):  # second epoch = pure cache hits
+        for b0, b1 in zip(cold, hot):
+            np.testing.assert_array_equal(b0["x"], b1["x"])
+            np.testing.assert_array_equal(b0["x_cond"], b1["x_cond"])
+    clear_image_cache()
