@@ -2,18 +2,36 @@
 
 Layout (reference `datasets/custom.py:33-50` — {stage}/{A,B} paired dirs):
 
-    <out>/train/A/*.png   condition  (grayscale rendering of B)
+    <out>/train/A/*.png   condition  (derived from B, see --task)
     <out>/train/B/*.png   target     (procedural color image)
     <out>/{val,test}/{A,B}/*.png
 
-The mapping A -> B is colorization-style: B is a smooth procedural color
-image (random background gradient + gaussian color blobs + a few hard-edged
-rectangles), A is its ITU-R 601 luma replicated to 3 channels. Deterministic
-per-index seeds make the dataset reproducible.
+B is always a smooth procedural color image (random background gradient +
+gaussian color blobs + a few hard-edged rectangles). Two condition tasks:
+
+  --task colorization   A = ITU-R 601 luma of B replicated to 3 channels.
+        One-to-MANY inverse: given luma, blob/gradient colors are genuinely
+        ambiguous, so a *posterior sampler*'s expected MSE is ~2x the
+        posterior mean's — and the gray input itself sits near the posterior
+        mean. A perfectly-trained diffusion sampler therefore cannot beat
+        the copy-the-input PSNR floor on this task (observed in round 3).
+  --task restore        A = gaussian_blur(1 - B[..., (1,2,0)]), i.e. a
+        channel-cycled value inversion followed by a spatial blur.
+        DETERMINISTIC and (for these band-limited scenes) invertible: the
+        model must learn a global color bijection plus spatial deblurring,
+        the copy-the-input floor is very low (inverted colors), and a
+        trained sampler's PSNR can far exceed it — the right task shape for
+        demonstrating end-to-end translation quality.
+
+Deterministic per-index seeds make the dataset reproducible; B images for a
+given --seed are identical across tasks (so a first stage trained on one
+task's B domain warm-starts the other's).
 
 Usage:
     python scripts/make_synthetic_dataset.py --out datasets/syn256 \
         --size 256 --train 800 --val 64 --test 64
+    python scripts/make_synthetic_dataset.py --out datasets/synpix256 \
+        --task restore --size 256 --train 3000 --val 64 --test 64
 """
 
 from __future__ import annotations
@@ -66,26 +84,55 @@ def _add_rects(rng, img, n_rects):
     return img
 
 
-def make_pair(seed, size):
+def _conv1d_reflect(img, kernel, axis):
+    r = len(kernel) // 2
+    pad = [(0, 0)] * img.ndim
+    pad[axis] = (r, r)
+    p = np.pad(img, pad, mode="reflect")
+    out = np.zeros_like(img)
+    for i, w in enumerate(kernel):
+        sl = [slice(None)] * img.ndim
+        sl[axis] = slice(i, i + img.shape[axis])
+        out += w * p[tuple(sl)]
+    return out
+
+
+def _gaussian_blur(img, sigma):
+    if sigma <= 0:
+        return img
+    r = max(1, int(3.0 * sigma + 0.5))
+    x = np.arange(-r, r + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    return _conv1d_reflect(_conv1d_reflect(img, k, 0), k, 1)
+
+
+def make_pair(seed, size, task="colorization", blur_sigma=4.0):
     rng = np.random.RandomState(seed)
     img = _gradient(rng, size)
     img = _add_blobs(rng, img, rng.randint(3, 7))
     img = _add_rects(rng, img, rng.randint(1, 4))
     img = np.clip(img, 0.0, 1.0)
-    luma = img[..., 0] * 0.299 + img[..., 1] * 0.587 + img[..., 2] * 0.114
-    cond = np.repeat(luma[..., None], 3, axis=-1)
+    if task == "colorization":
+        luma = img[..., 0] * 0.299 + img[..., 1] * 0.587 + img[..., 2] * 0.114
+        cond = np.repeat(luma[..., None], 3, axis=-1)
+    elif task == "restore":
+        cond = _gaussian_blur(1.0 - img[..., [1, 2, 0]], blur_sigma)
+    else:
+        raise ValueError(f"unknown task {task!r}")
     b = (img * 255.0 + 0.5).astype(np.uint8)
     a = (np.clip(cond, 0, 1) * 255.0 + 0.5).astype(np.uint8)
     return a, b
 
 
-def write_stage(out, stage, count, size, seed_base):
+def write_stage(out, stage, count, size, seed_base, task="colorization",
+                blur_sigma=4.0):
     a_dir = os.path.join(out, stage, "A")
     b_dir = os.path.join(out, stage, "B")
     os.makedirs(a_dir, exist_ok=True)
     os.makedirs(b_dir, exist_ok=True)
     for i in range(count):
-        a, b = make_pair(seed_base + i, size)
+        a, b = make_pair(seed_base + i, size, task=task, blur_sigma=blur_sigma)
         name = f"{stage}_{i:05d}.png"
         Image.fromarray(a).save(os.path.join(a_dir, name))
         Image.fromarray(b).save(os.path.join(b_dir, name))
@@ -100,10 +147,15 @@ def main():
     ap.add_argument("--val", type=int, default=64)
     ap.add_argument("--test", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--task", choices=("colorization", "restore"),
+                    default="colorization")
+    ap.add_argument("--blur-sigma", type=float, default=4.0,
+                    help="restore-task blur stddev in pixels at --size")
     args = ap.parse_args()
-    write_stage(args.out, "train", args.train, args.size, args.seed)
-    write_stage(args.out, "val", args.val, args.size, args.seed + 1_000_000)
-    write_stage(args.out, "test", args.test, args.size, args.seed + 2_000_000)
+    kw = dict(task=args.task, blur_sigma=args.blur_sigma)
+    write_stage(args.out, "train", args.train, args.size, args.seed, **kw)
+    write_stage(args.out, "val", args.val, args.size, args.seed + 1_000_000, **kw)
+    write_stage(args.out, "test", args.test, args.size, args.seed + 2_000_000, **kw)
 
 
 if __name__ == "__main__":
