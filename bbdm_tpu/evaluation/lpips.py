@@ -146,38 +146,80 @@ def load_lpips_params(weights_path: str | None = None, net: str = "alex") -> dic
     return load_checkpoint(path)
 
 
-def _im2tensor(path: str):
+def _decode(path: str) -> np.ndarray:
     img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
-    return jnp.asarray(img * 2.0 - 1.0)[None]
+    return img * 2.0 - 1.0
+
+
+def _decode_many(paths, threads: int = 8) -> np.ndarray:
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(paths) == 1:
+        return np.stack([_decode(paths[0])])
+    with ThreadPoolExecutor(max_workers=min(threads, len(paths))) as ex:
+        return np.stack(list(ex.map(_decode, paths)))
 
 
 def _make_dist_fn(params, net):
     return jax.jit(lambda a, b: lpips_distance(params, net, a, b))
 
 
-def calc_LPIPS(data_dir: str, gt_dir: str, num_samples: int = 1, *,
-               weights_path: str | None = None, net: str = "alex") -> float:
-    """reference `evaluation/LPIPS.py:11-32` directory protocol."""
-    params = load_lpips_params(weights_path, net)
+def batched_distances(params, net: str, pairs, batch_size: int = 32) -> np.ndarray:
+    """LPIPS over a list of (path_a, path_b) pairs -> float32 [len(pairs)].
+
+    One fixed-shape jitted call per batch (last batch zero-padded to
+    ``batch_size`` so the whole protocol compiles exactly once); decode is
+    threaded and, because jax dispatch is async, overlaps the device work of
+    the previous batch. The reference protocols dispatch one pair at a time
+    (`evaluation/LPIPS.py:11-32`) — fine on local CUDA, dispatch-bound
+    through the TPU tunnel at thousands-of-pairs scale. Assumes one image
+    size per protocol run (what ``sample_to_eval`` writes).
+    """
     dist = _make_dist_fn(params, net)
+    pending = []  # (device_result, n_valid)
+    for i in range(0, len(pairs), batch_size):
+        chunk = pairs[i:i + batch_size]
+        a = _decode_many([p[0] for p in chunk])
+        b = _decode_many([p[1] for p in chunk])
+        n = len(chunk)
+        if n < batch_size and len(pairs) > batch_size:
+            pad = ((0, batch_size - n), (0, 0), (0, 0), (0, 0))
+            a, b = np.pad(a, pad), np.pad(b, pad)
+        pending.append((dist(jnp.asarray(a), jnp.asarray(b)), n))
+    return np.concatenate([np.asarray(d)[:n] for d, n in pending])
+
+
+def _sample_tree_pairs(data_dir: str, gt_dir: str, num_samples: int):
+    """The reference's numeric tree: gt/<i>.png vs data/<i>/output_<j>.png
+    (or flat data/<i>.png when num_samples == 1)."""
     total = len(os.listdir(data_dir))
-    acc = 0.0
+    pairs = []
     for i in range(total):
-        gt = _im2tensor(os.path.join(gt_dir, f"{i}.png"))
+        gt = os.path.join(gt_dir, f"{i}.png")
         for j in range(num_samples):
             if num_samples == 1:
                 p = os.path.join(data_dir, f"{i}.png")
             else:
                 p = os.path.join(data_dir, str(i), f"output_{j}.png")
-            acc += float(dist(gt, _im2tensor(p))[0])
-    avg = acc / (total * num_samples)
+            pairs.append((gt, p))
+    return total, pairs
+
+
+def calc_LPIPS(data_dir: str, gt_dir: str, num_samples: int = 1, *,
+               weights_path: str | None = None, net: str = "alex",
+               batch_size: int = 32) -> float:
+    """reference `evaluation/LPIPS.py:11-32` directory protocol."""
+    params = load_lpips_params(weights_path, net)
+    total, pairs = _sample_tree_pairs(data_dir, gt_dir, num_samples)
+    avg = float(batched_distances(params, net, pairs, batch_size).mean())
     print(data_dir)
     print(f"lpips_distance: {avg}")
     return avg
 
 
 def paired_LPIPS(data_dir: str, gt_dir: str, *,
-                 weights_path: str | None = None, net: str = "alex") -> float:
+                 weights_path: str | None = None, net: str = "alex",
+                 batch_size: int = 32) -> float:
     """Mean LPIPS over files present (by name) in BOTH flat directories.
 
     `calc_LPIPS` keeps the reference's numeric `{i}.png` protocol
@@ -186,31 +228,36 @@ def paired_LPIPS(data_dir: str, gt_dir: str, *,
     data/base.py) — used by scripts/run_parity.py.
     """
     params = load_lpips_params(weights_path, net)
-    dist = _make_dist_fn(params, net)
     names = sorted(set(os.listdir(data_dir)) & set(os.listdir(gt_dir)))
     names = [n for n in names
              if os.path.splitext(n)[1].lower() in
              {".png", ".jpg", ".jpeg", ".bmp", ".webp"}]
     if not names:
         raise ValueError(f"no common image names in {data_dir} / {gt_dir}")
-    acc = 0.0
-    for n in names:
-        acc += float(dist(_im2tensor(os.path.join(gt_dir, n)),
-                          _im2tensor(os.path.join(data_dir, n)))[0])
-    return acc / len(names)
+    pairs = [(os.path.join(gt_dir, n), os.path.join(data_dir, n)) for n in names]
+    return float(batched_distances(params, net, pairs, batch_size).mean())
+
+
+def _distance_matrix(data_dir: str, gt_dir: str, num_samples: int,
+                     params, net: str, batch_size: int = 32) -> np.ndarray:
+    total, pairs = _sample_tree_pairs(data_dir, gt_dir, num_samples)
+    return batched_distances(params, net, pairs, batch_size).reshape(
+        total, num_samples)
 
 
 def random_LPIPS(data_dir: str, gt_dir: str, num_samples: int = 1, *,
-                 params=None, net: str = "alex") -> float:
-    """reference `:40-55`: one random output per input."""
-    dist = _make_dist_fn(params, net)
-    total = len(os.listdir(data_dir))
+                 params=None, net: str = "alex", dists=None) -> float:
+    """reference `:40-55`: one random output per input.
+
+    ``dists`` (a precomputed [total, num_samples] matrix from
+    ``_distance_matrix``) lets `find_max_min_LPIPS` run its 100 draws
+    without re-running the network; the draw semantics are unchanged."""
+    if dists is None:
+        dists = _distance_matrix(data_dir, gt_dir, num_samples, params, net)
+    total = dists.shape[0]
     acc = 0.0
     for i in range(total):
-        gt = _im2tensor(os.path.join(gt_dir, f"{i}.png"))
-        j = random.randint(0, num_samples - 1)
-        p = os.path.join(data_dir, str(i), f"output_{j}.png")
-        acc += float(dist(gt, _im2tensor(p))[0])
+        acc += float(dists[i, random.randint(0, num_samples - 1)])
     return acc / total
 
 
@@ -218,9 +265,11 @@ def find_max_min_LPIPS(data_dir: str, gt_dir: str, num_samples: int = 1, *,
                        weights_path: str | None = None, net: str = "alex"):
     """reference `:59-72`: spread over 100 random draws."""
     params = load_lpips_params(weights_path, net)
+    dists = _distance_matrix(data_dir, gt_dir, num_samples, params, net)
     max_l, min_l = 0.0, 10.0
     for i in range(100):
-        avg = random_LPIPS(data_dir, gt_dir, num_samples, params=params, net=net)
+        avg = random_LPIPS(data_dir, gt_dir, num_samples, params=params,
+                           net=net, dists=dists)
         max_l, min_l = max(max_l, avg), min(min_l, avg)
         if i % 20 == 0:
             print(f"{i} current_LPIPS = {avg}, max_LPIPS = {max_l}, min_LPIPS = {min_l}")

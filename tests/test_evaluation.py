@@ -141,6 +141,61 @@ class TestLPIPSMath:
         assert dab == pytest.approx(dba, rel=1e-5)
 
 
+class TestLPIPSBatchedProtocols:
+    """The directory protocols dispatch fixed-shape batches (VERDICT r3 #6);
+    results must match the naive one-pair-at-a-time evaluation."""
+
+    def _params(self):
+        return TestLPIPSMath._params(self)
+
+    def _tree(self, tmp_path, total=5, num_samples=3, size=32):
+        rs = np.random.RandomState(7)
+        gt = tmp_path / "gt"
+        data = tmp_path / "data"
+        gt.mkdir(), data.mkdir()
+        for i in range(total):
+            Image.fromarray(rs.randint(0, 255, (size, size, 3), np.uint8)).save(
+                gt / f"{i}.png")
+            d = data / str(i)
+            d.mkdir()
+            for j in range(num_samples):
+                Image.fromarray(rs.randint(0, 255, (size, size, 3), np.uint8)).save(
+                    d / f"output_{j}.png")
+        return str(data), str(gt)
+
+    def test_batched_matches_per_pair(self, tmp_path):
+        from bbdm_tpu.evaluation.lpips import (
+            _sample_tree_pairs, batched_distances, lpips_distance)
+
+        params = self._params()
+        data, gt = self._tree(tmp_path)
+        total, pairs = _sample_tree_pairs(data, gt, 3)
+        assert total == 5 and len(pairs) == 15
+        # batch_size 4: three full batches + one padded remainder batch
+        got = batched_distances(params, "alex", pairs, batch_size=4)
+        for k, (pa, pb) in enumerate(pairs):
+            a = jnp.asarray(np.asarray(Image.open(pa), np.float32) / 255.0 * 2 - 1)[None]
+            b = jnp.asarray(np.asarray(Image.open(pb), np.float32) / 255.0 * 2 - 1)[None]
+            want = float(lpips_distance(params, "alex", a, b)[0])
+            assert got[k] == pytest.approx(want, rel=2e-4, abs=1e-6)
+
+    def test_calc_and_maxmin_protocols(self, tmp_path, monkeypatch):
+        import bbdm_tpu.evaluation.lpips as L
+
+        params = self._params()
+        monkeypatch.setattr(L, "load_lpips_params", lambda *a, **k: params)
+        data, gt = self._tree(tmp_path)
+        avg = L.calc_LPIPS(data, gt, num_samples=3, batch_size=4)
+        dists = L._distance_matrix(data, gt, 3, params, "alex")
+        assert avg == pytest.approx(float(dists.mean()), rel=1e-5)
+        max_l, min_l = L.find_max_min_LPIPS(data, gt, num_samples=3)
+        # every draw averages one column choice per row: bounded by the
+        # per-row min/max means
+        assert min_l >= float(dists.min(axis=1).mean()) - 1e-6
+        assert max_l <= float(dists.max(axis=1).mean()) + 1e-6
+        assert min_l <= max_l
+
+
 class TestInceptionPort:
     def test_output_is_2048(self):
         from bbdm_tpu.evaluation.inception import FIDInceptionV3
