@@ -20,10 +20,41 @@ _USE_NATIVE = os.environ.get("BBDM_NATIVE", "1") != "0"
 # dict: CPython dict get/set are atomic under the GIL, so concurrent loader
 # threads at worst decode the same image twice before one wins — benign.
 _RAM_CACHE: dict = {}
+_RAM_CACHE_BYTES = 0
+# soft size cap: enabling cache_in_ram on a dataset too big for host RAM
+# should fail loudly with the knob named, not OOM the 1-core host
+_RAM_CACHE_CAP_BYTES = int(float(os.environ.get("BBDM_CACHE_CAP_MB", "4096")) * 2**20)
 
 
 def clear_image_cache() -> None:
+    global _RAM_CACHE_BYTES
     _RAM_CACHE.clear()
+    _RAM_CACHE_BYTES = 0
+
+
+def cache_image(key, producer) -> np.ndarray:
+    """Memoize a decoded-image fp32 array process-wide, write-protected.
+
+    ``producer`` runs only on a miss. Tracks the total footprint and raises
+    (naming the knobs) when it would exceed BBDM_CACHE_CAP_MB — a dataset
+    that large should stream from disk instead of silently exhausting RAM.
+    """
+    global _RAM_CACHE_BYTES
+    hit = _RAM_CACHE.get(key)
+    if hit is not None:
+        return hit
+    arr = producer()
+    if _RAM_CACHE_BYTES + arr.nbytes > _RAM_CACHE_CAP_BYTES:
+        raise RuntimeError(
+            f"cache_in_ram footprint would exceed "
+            f"{_RAM_CACHE_CAP_BYTES / 2**20:.0f} MB after "
+            f"{len(_RAM_CACHE) + 1} images (~{arr.nbytes / 2**20:.2f} MB "
+            "each) — disable dataset_config.cache_in_ram for this dataset "
+            "or raise BBDM_CACHE_CAP_MB")
+    arr.setflags(write=False)
+    _RAM_CACHE[key] = arr
+    _RAM_CACHE_BYTES += arr.nbytes
+    return arr
 
 
 def load_image(path: str, image_size: tuple[int, int], flip: bool, to_normal: bool,
@@ -43,15 +74,9 @@ def load_image(path: str, image_size: tuple[int, int], flip: bool, to_normal: bo
     ``dataset_config.cache_in_ram: true``.
     """
     if cache:
-        key = (path, tuple(image_size), flip, to_normal)
-        hit = _RAM_CACHE.get(key)
-        if hit is not None:
-            return hit
-    arr = _load_image_uncached(path, image_size, flip, to_normal)
-    if cache:
-        arr.setflags(write=False)
-        _RAM_CACHE[key] = arr
-    return arr
+        return cache_image((path, tuple(image_size), flip, to_normal),
+                           lambda: _load_image_uncached(path, image_size, flip, to_normal))
+    return _load_image_uncached(path, image_size, flip, to_normal)
 
 
 def _load_image_uncached(path: str, image_size: tuple[int, int], flip: bool,

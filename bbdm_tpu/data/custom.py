@@ -128,11 +128,9 @@ class CustomColorizationLABDataset(_FlipDoubledPaths):
     def __init__(self, dataset_config, stage="train"):
         super().__init__(dataset_config, stage)
 
-    def __getitem__(self, index):
+    def _decode_lab(self, path, do_flip):
         import cv2
 
-        index, do_flip = self.resolve(index)
-        path = self.image_paths[index]
         image = cv2.imread(path)
         image = cv2.cvtColor(image, cv2.COLOR_BGR2LAB)
         if do_flip:
@@ -141,6 +139,22 @@ class CustomColorizationLABDataset(_FlipDoubledPaths):
         image = image.astype(np.float32)
         if self.to_normal:
             image = np.clip((image - 127.5) / 127.5, -1.0, 1.0)
+        return image
+
+    def __getitem__(self, index):
+        index, do_flip = self.resolve(index)
+        path = self.image_paths[index]
+        if self.cache:
+            # the cv2 decode honors cache_in_ram like the load_image path
+            # (ADVICE round 3: it used to be a silent no-op here); key is
+            # namespaced — LAB arrays are not RGB load_image arrays
+            from bbdm_tpu.data.base import cache_image
+
+            image = cache_image(
+                ("lab", path, tuple(self.image_size), do_flip, self.to_normal),
+                lambda: self._decode_lab(path, do_flip))
+        else:
+            image = self._decode_lab(path, do_flip)
         L = image[..., 0:1]
         cond = np.repeat(L, 3, axis=-1)
         name = Path(path).stem

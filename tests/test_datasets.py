@@ -13,6 +13,17 @@ from bbdm_tpu.data import DataLoader, get_dataset
 from bbdm_tpu.registry import Registers
 
 
+@pytest.fixture(autouse=True)
+def _image_cache_guard():
+    """Guarantee the process-wide RAM cache is empty before AND after every
+    test here, even when an assertion fails mid-test (ADVICE round 3)."""
+    from bbdm_tpu.data.base import clear_image_cache
+
+    clear_image_cache()
+    yield
+    clear_image_cache()
+
+
 @pytest.fixture(scope="module")
 def image_root(tmp_path_factory):
     """root/flat/<stage>/*.png for single-dir types; root/aligned/<stage>/{A,B}."""
@@ -250,3 +261,31 @@ def test_cache_in_ram_through_loader_matches_uncached(image_root):
             np.testing.assert_array_equal(b0["x"], b1["x"])
             np.testing.assert_array_equal(b0["x_cond"], b1["x_cond"])
     clear_image_cache()
+
+
+def test_cache_in_ram_applies_to_lab_dataset(image_root):
+    """cache_in_ram used to be a silent no-op for the cv2-decoded LAB type
+    (ADVICE round 3) — now it memoizes like the load_image path."""
+    pytest.importorskip("cv2")
+    mk = Registers.datasets["custom_colorization_LAB"]
+    cold = mk(_cfg(image_root / "flat"), stage="train")
+    hot = mk(_cfg_cached(image_root / "flat"), stage="train")
+    (x0, _), (c0, _) = cold[0]
+    (x1, _), (c1, _) = hot[0]
+    np.testing.assert_array_equal(x0, x1)
+    np.testing.assert_array_equal(c0, c1)
+    (x2, _), _ = hot[0]
+    assert x1 is x2  # memo hit
+    assert not x1.flags.writeable
+
+
+def test_cache_in_ram_cap_fails_loudly(image_root, monkeypatch):
+    """Exceeding BBDM_CACHE_CAP_MB raises with the knobs named instead of
+    silently filling host RAM (ADVICE round 3)."""
+    from bbdm_tpu.data import base as data_base
+
+    monkeypatch.setattr(data_base, "_RAM_CACHE_CAP_BYTES", 1024)  # ~1 KB
+    ds = Registers.datasets["custom_single"](
+        _cfg_cached(image_root / "flat"), stage="train")
+    with pytest.raises(RuntimeError, match="BBDM_CACHE_CAP_MB"):
+        ds[0]  # a 16x16x3 fp32 image is 3 KB > the 1 KB cap
