@@ -53,10 +53,14 @@ def test_chain_demo_cpu(tmp_path):
     )
     assert res.returncode == 0, res.stderr[-4000:]
 
-    report_lines = [l for l in res.stdout.splitlines()
-                    if l.startswith("[chain] report: ")]
-    assert report_lines, res.stdout[-4000:]
-    report = json.loads(report_lines[-1][len("[chain] report: "):])
+    # per-phase resumable reports (report_<phase>.json under --result)
+    def rep(phase):
+        path = tmp_path / "results" / f"report_{phase}.json"
+        assert path.exists(), (phase, res.stdout[-4000:])
+        with open(path) as f:
+            return json.load(f)
+
+    report = rep("eval")
 
     # both phases left their checkpoints where phase C found them
     assert os.path.exists(report["vq_ckpt"])
@@ -68,9 +72,17 @@ def test_chain_demo_cpu(tmp_path):
     assert int(load_checkpoint(report["vq_ckpt"])["epoch"]) == 1
     assert int(load_checkpoint(report["bridge_ckpt"])["epoch"]) == 1
 
-    # the sample_to_eval directory contract produced comparable image sets
-    for key in ("sample_vs_gt", "condition_vs_gt_floor"):
+    # the sample_to_eval directory contract produced comparable image sets,
+    # plus the first stage's own roundtrip ceiling over the same gt images
+    for key in ("sample_vs_gt", "condition_vs_gt_floor",
+                "vqgan_roundtrip_ceiling"):
         psnr = float(report[key]["psnr"])
         ssim = float(report[key]["ssim"])
         assert 0.0 < psnr < 100.0, (key, psnr)
         assert -1.0 <= ssim <= 1.0, (key, ssim)
+
+    # phase D: delivered-throughput sweep at the canonical sample_num
+    tput = rep("throughput")
+    assert tput["sample_num"] == 5
+    assert tput["delivered_samples_per_sec"] > 0
+    assert tput["samples"] == tput["images"] * 5
