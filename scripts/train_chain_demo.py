@@ -82,8 +82,19 @@ def main():
                     help="phase-D sample_num (canonical protocol: 5)")
     ap.add_argument("--bench-images", type=int, default=32,
                     help="phase-D test images to sweep (timed)")
+    ap.add_argument("--deadline-ts", type=float, default=None,
+                    help="unix timestamp: phases not yet STARTED by this "
+                         "time are skipped and the client exits cleanly "
+                         "(reports make the next invocation resume there)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
+
+    def past_deadline(phase):
+        if args.deadline_ts is not None and time.time() > args.deadline_ts:
+            print(f"[chain] deadline passed, skipping phase {phase} "
+                  "(resumable: re-run the same command later)", flush=True)
+            return True
+        return False
 
     import jax
 
@@ -138,6 +149,8 @@ def main():
     if os.path.exists(report_path(args.result, "bridge")):
         bridge_ckpt = read_report(args.result, "bridge")["ckpt"]
         print(f"[chain] phase B report exists, using {bridge_ckpt}", flush=True)
+    elif past_deadline("B"):
+        return
     else:
         print("[chain] phase B: LBBDM-f4 bridge training on the trained "
               "first stage", flush=True)
@@ -159,6 +172,8 @@ def main():
     # ---------------- phase C: sample_to_eval + weights-free metrics -----
     if os.path.exists(report_path(args.result, "eval")):
         print("[chain] phase C report exists, skipping", flush=True)
+    elif past_deadline("C"):
+        return
     else:
         print("[chain] phase C: sample_to_eval sweep + PSNR/SSIM", flush=True)
         cfg_c = lbbdm_cfg()
@@ -216,6 +231,8 @@ def main():
     # ------- phase D: delivered sample_to_eval throughput (sample_num 5) --
     if os.path.exists(report_path(args.result, "throughput")):
         print("[chain] phase D report exists, skipping", flush=True)
+    elif past_deadline("D"):
+        return
     else:
         print(f"[chain] phase D: delivered sweep throughput at sample_num="
               f"{args.bench_sample_num}", flush=True)
