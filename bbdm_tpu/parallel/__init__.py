@@ -10,5 +10,6 @@ from bbdm_tpu.parallel.distributed import (  # noqa: F401
     maybe_initialize_distributed,
 )
 from bbdm_tpu.parallel.tp import (  # noqa: F401
+    fetch_tree,
     place_state,
 )

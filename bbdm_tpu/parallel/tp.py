@@ -35,6 +35,8 @@ tests/test_sharding.py.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -73,17 +75,6 @@ def place_state(mesh: Mesh, tree, model_parallel: int = 1, fsdp: bool = False):
     fsdp_size = mesh.shape.get("data", 1) if fsdp else 1
     if model_parallel <= 1 and fsdp_size <= 1:
         return replicate(mesh, tree)
-    if len({d.process_index for d in mesh.devices.flat}) > 1:
-        # device_get/device_put of model/fsdp-sharded values is not
-        # addressable across processes; multi-host TP/FSDP would need
-        # allgather plumbing in the sampling/checkpoint paths — out of scope
-        # (the reference model fits one chip; these exist for
-        # bigger-than-chip variants)
-        raise NotImplementedError(
-            "model_parallel > 1 / fsdp on a multi-host mesh is not "
-            "supported; use them within one host (up to "
-            f"{jax.local_device_count()} local devices) and plain data "
-            "parallelism across hosts")
 
     # one tree-level device_put (not per-leaf): through the axon tunnel each
     # dispatch costs ~1ms and a full TrainState has hundreds of leaves
@@ -91,3 +82,41 @@ def place_state(mesh: Mesh, tree, model_parallel: int = 1, fsdp: bool = False):
         lambda x: NamedSharding(mesh, leaf_spec(x, model_parallel, fsdp_size)),
         tree)
     return jax.device_put(tree, shardings)
+
+
+@functools.lru_cache(maxsize=None)
+def _replicator(mesh: Mesh):
+    # identity jit with replicated out_shardings: GSPMD inserts the
+    # all-gathers over ICI/DCN. Cached per mesh so repeated fetches (ckpt
+    # cadence, sampling cadence) reuse the compiled gather.
+    return jax.jit(lambda xs: xs, out_shardings=NamedSharding(mesh, P()))
+
+
+def fetch_tree(tree):
+    """``jax.device_get`` that also handles leaves sharded ACROSS processes
+    (multi-host TP/FSDP state from :func:`place_state`).
+
+    Leaves whose shards are all locally addressable (single-host, or
+    replicated over the cross-host axis) fetch directly; cross-process
+    sharded leaves are first all-gathered onto every process by a jitted
+    identity with replicated output sharding. When any leaf needs the
+    gather this is a COLLECTIVE: every process in the mesh must call
+    fetch_tree on the same tree in the same order (the checkpoint/sampling
+    call sites in runners/base.py are structured to guarantee this).
+
+    Note the gather materializes the full value on every device and then on
+    the host — fine for anything one intends to write into a single
+    checkpoint file or sample from on one host, by construction.
+    """
+    flat, treedef = jax.tree_util.tree_flatten(tree)
+    gather_idx = [
+        i for i, x in enumerate(flat)
+        if isinstance(x, jax.Array)
+        and not x.is_fully_addressable and not x.is_fully_replicated
+    ]
+    if gather_idx:
+        mesh = flat[gather_idx[0]].sharding.mesh
+        gathered = _replicator(mesh)([flat[i] for i in gather_idx])
+        for i, g in zip(gather_idx, gathered):
+            flat[i] = g
+    return jax.device_get(jax.tree_util.tree_unflatten(treedef, flat))

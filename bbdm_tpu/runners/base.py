@@ -37,7 +37,7 @@ from flax import serialization
 from bbdm_tpu.checkpoints.io import load_checkpoint, save_checkpoint
 from bbdm_tpu.config import ConfigNode, save_config
 from bbdm_tpu.data import DataLoader, get_dataset
-from bbdm_tpu.parallel import make_mesh, place_state, replicate, shard_batch
+from bbdm_tpu.parallel import fetch_tree, make_mesh, place_state, replicate, shard_batch
 from bbdm_tpu.runners.utils import make_dir, make_save_dirs, remove_file
 from bbdm_tpu.training import TrainState, make_eval_step, make_train_step
 from bbdm_tpu.training.state import zeros_like_tree
@@ -162,6 +162,25 @@ class BaseRunner(ABC):
         self.rng, sub = jax.random.split(self.rng)
         return sub
 
+    def next_sample_rng(self):
+        """Sampling draws come from a SEPARATE stream: sampling cadence is
+        rank-gated (and, under multi-host TP/FSDP, collective), so advancing
+        the training stream here would silently desynchronize the rng keys
+        the per-process train steps feed the global-mesh computation."""
+        if not hasattr(self, "_sample_rng"):
+            self._sample_rng = jax.random.fold_in(
+                jax.random.PRNGKey(self.config.args.seed), 0x5A4D50)
+        self._sample_rng, sub = jax.random.split(self._sample_rng)
+        return sub
+
+    @property
+    def _cross_host_state(self):
+        """True when the TrainState is sharded across processes (multi-host
+        TP/FSDP): checkpoint fetches and sampling-path gathers are then
+        collectives, so the otherwise rank-0-only call sites must be entered
+        by EVERY process (file/TB writes stay rank-0-gated inside)."""
+        return jax.process_count() > 1 and (self.model_parallel > 1 or self.fsdp)
+
     @property
     def sample_mesh(self):
         """Sampling runs on a HOST-LOCAL mesh: each process samples its own
@@ -180,13 +199,15 @@ class BaseRunner(ABC):
         return self._sample_mesh
 
     def _place_for_sampling(self, tree):
-        """Re-place a (replicated, possibly global-mesh) tree onto the
-        host-local sampling mesh. Multi-host only: goes through the host
-        copy of the replicated value — device_put across process-spanning
-        shardings is not generally legal."""
+        """Re-place a (possibly global-mesh, possibly cross-process-sharded)
+        tree onto the host-local sampling mesh, through the host copy —
+        device_put across process-spanning shardings is not generally legal.
+        Under multi-host TP/FSDP the fetch is a COLLECTIVE (fetch_tree):
+        every process must reach this call, which the sampling call sites
+        guarantee via _cross_host_state gating."""
         if tree is None or self.sample_mesh is self.mesh:
             return tree
-        return replicate(self.sample_mesh, jax.device_get(tree))
+        return replicate(self.sample_mesh, fetch_tree(tree))
 
     def _put_sample_batch(self, x_cond):
         """Shard a batch over the sampling mesh's 'data' axis when it
@@ -207,18 +228,22 @@ class BaseRunner(ABC):
     # -------------------------------------------------------- checkpointing
 
     def get_checkpoint_states(self, stage="epoch_end"):
-        """Model + optimizer checkpoint dicts (reference :140-170)."""
+        """Model + optimizer checkpoint dicts (reference :140-170).
+
+        Under multi-host TP/FSDP the fetches are collectives (fetch_tree
+        all-gathers the cross-process shards): every process must call this
+        in the same order; only rank 0 then writes the files."""
         state = self.state
         model_states = {
             "step": int(state.step),
-            "model": serialization.to_state_dict(jax.device_get(state.params)),
+            "model": serialization.to_state_dict(fetch_tree(state.params)),
             "epoch": self.global_epoch if stage == "exception" else self.global_epoch + 1,
         }
         if self.use_ema:
-            model_states["ema"] = serialization.to_state_dict(jax.device_get(state.ema_params))
+            model_states["ema"] = serialization.to_state_dict(fetch_tree(state.ema_params))
         optimizer_scheduler_states = {
-            "optimizer": [serialization.to_state_dict(jax.device_get(state.opt_state))],
-            "scheduler": [serialization.to_state_dict(jax.device_get(state.plateau))],
+            "optimizer": [serialization.to_state_dict(fetch_tree(state.opt_state))],
+            "scheduler": [serialization.to_state_dict(fetch_tree(state.plateau))],
         }
         return model_states, optimizer_scheduler_states
 
@@ -264,17 +289,6 @@ class BaseRunner(ABC):
                     )
                     self.state = self.state.replace(opt_state=opt_state, plateau=plateau)
         return model_states
-
-    def _save_ckpt_pair(self, model_name, optim_name):
-        model_states, optim_states = self.get_checkpoint_states()
-        ckpt_path = self.config.result.ckpt_path
-        # background: training pays only the device->host fetch; the msgpack
-        # serialize + disk write overlap the next steps (checkpoints/io.py)
-        save_checkpoint(model_states, os.path.join(ckpt_path, model_name),
-                        background=True)
-        save_checkpoint(optim_states, os.path.join(ckpt_path, optim_name),
-                        background=True)
-        return model_states, optim_states
 
     # -------------------------------------------------------------- hooks
 
@@ -448,7 +462,11 @@ class BaseRunner(ABC):
                     if self.global_step % 50 == 0:
                         self.validation_step(next_val_batch(), epoch, self.global_step)
 
-                    if self.global_step % sample_every == 0 and self.is_main_process:
+                    if self.global_step % sample_every == 0 and (
+                            self.is_main_process or self._cross_host_state):
+                        # under multi-host TP/FSDP every process enters: the
+                        # EMA/param gathers inside sample() are collectives;
+                        # file/TB writes stay rank-0-gated inside sample()
                         self.sample_step(train_batch=train_batch, val_batch=next_val_batch())
 
                 if pending_log is not None and self.is_main_process:
@@ -467,13 +485,18 @@ class BaseRunner(ABC):
                     self.logger(f"validating epoch success (avg loss {average_loss:.6f})")
 
                 # checkpoints (reference :468-534)
-                if (
+                save_now = (
                     (epoch + 1) % training.save_interval == 0
                     or (epoch + 1) == training.n_epochs
                     or self.global_step > training.n_steps
-                ) and self.is_main_process:
+                )
+                if save_now and (self.is_main_process or self._cross_host_state):
                     self.logger("saving latest checkpoint...")
                     self.on_save_checkpoint(train_loader, val_loader, epoch, self.global_step)
+                    # the state fetch is collective under multi-host TP/FSDP
+                    # — every process participates; only rank 0 writes below
+                    model_states, optim_states = self.get_checkpoint_states()
+                if save_now and self.is_main_process:
                     ckpt_path = self.config.result.ckpt_path
                     # drain pending writers before deleting: a remove racing
                     # an in-flight os.replace would resurrect the file
@@ -483,9 +506,17 @@ class BaseRunner(ABC):
                     for temp in range(epoch + 1):
                         remove_file(os.path.join(ckpt_path, f"latest_model_{temp}.ckpt"))
                         remove_file(os.path.join(ckpt_path, f"latest_optim_sche_{temp}.ckpt"))
-                    model_states, optim_states = self._save_ckpt_pair(
-                        f"latest_model_{epoch + 1}.ckpt", f"latest_optim_sche_{epoch + 1}.ckpt"
-                    )
+                    # background: training pays only the device->host fetch;
+                    # the msgpack serialize + disk write overlap the next
+                    # steps (checkpoints/io.py)
+                    save_checkpoint(
+                        model_states,
+                        os.path.join(ckpt_path, f"latest_model_{epoch + 1}.ckpt"),
+                        background=True)
+                    save_checkpoint(
+                        optim_states,
+                        os.path.join(ckpt_path, f"latest_optim_sche_{epoch + 1}.ckpt"),
+                        background=True)
                     save_checkpoint(model_states, os.path.join(ckpt_path, "last_model.ckpt"),
                                     background=True)
                     save_checkpoint(optim_states, os.path.join(ckpt_path, "last_optim_sche.ckpt"),
@@ -495,13 +526,20 @@ class BaseRunner(ABC):
                         self._save_top_checkpoint(average_loss, epoch, model_states, optim_states)
         except BaseException as e:
             unwinding = True
-            if self.is_main_process:  # reference bug `:538` gates on the wrong rank
+            # reference bug `:538` gates on the wrong rank — save on rank 0.
+            # Under multi-host TP/FSDP the fetch is collective, so every
+            # process participates; best-effort by nature — it completes when
+            # the failure is global (SIGTERM/preemption delivered everywhere,
+            # the common case) and times out at the distributed-runtime
+            # deadline when a single process died alone.
+            if self.is_main_process or self._cross_host_state:
                 self.logger("exception save model start....")
                 model_states, optim_states = self.get_checkpoint_states(stage="exception")
-                ckpt_path = self.config.result.ckpt_path
-                save_checkpoint(model_states, os.path.join(ckpt_path, "last_model.ckpt"))
-                save_checkpoint(optim_states, os.path.join(ckpt_path, "last_optim_sche.ckpt"))
-                self.logger("exception save model success!")
+                if self.is_main_process:
+                    ckpt_path = self.config.result.ckpt_path
+                    save_checkpoint(model_states, os.path.join(ckpt_path, "last_model.ckpt"))
+                    save_checkpoint(optim_states, os.path.join(ckpt_path, "last_optim_sche.ckpt"))
+                    self.logger("exception save model success!")
             print("str(e):", str(e))
             traceback.print_exc()
             # re-raise so the process exits non-zero and schedulers see the
@@ -570,9 +608,12 @@ class BaseRunner(ABC):
         self.state = place_state(self.mesh, self.state, self.model_parallel, self.fsdp)
         if self.config.args.sample_to_eval:
             self.sample_to_eval(test_loader, self.config.result.sample_to_eval_path)
-        elif self.is_main_process:
-            # single-batch sample mode is rank-0 only: every process writing
-            # its own shard to the SAME grid paths would race/corrupt them.
+        elif self.is_main_process or self._cross_host_state:
+            # single-batch sample mode writes on rank 0 only: every process
+            # writing its own shard to the SAME grid paths would race/corrupt
+            # them. Under multi-host TP/FSDP every process still enters (the
+            # param gathers inside sample() are collectives); writes stay
+            # rank-0-gated inside sample().
             # The loaders above are process-sharded; rebuild UNSHARDED here so
             # rank 0 draws from the full test set rather than silently
             # sampling only its own 1/P shard (ADVICE round 2)

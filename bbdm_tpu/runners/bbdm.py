@@ -20,6 +20,7 @@ import numpy as np
 from bbdm_tpu.checkpoints.io import load_checkpoint
 from bbdm_tpu.models import build_model
 from bbdm_tpu.models.latent import LatentBrownianBridgeModel, init_latent_stats
+from bbdm_tpu.parallel import fetch_tree
 from bbdm_tpu.registry import Registers
 from bbdm_tpu.runners.diffusion_base import DiffusionBaseRunner
 from bbdm_tpu.runners.utils import make_dir
@@ -126,9 +127,12 @@ class BBDMRunner(DiffusionBaseRunner):
         model_states, optim_states = super().get_checkpoint_states(stage)
         if self.is_latent and self.config.model.get("normalize_latent", False):
             stats = self.state.latent_stats or init_latent_stats(self.model.channels)
+            # fetch_tree: the stats ride the TrainState placement, so under
+            # multi-host FSDP they can be cross-process sharded too
+            stats = {k: np.asarray(v) for k, v in fetch_tree(stats).items()}
             for k in ("ori_latent_mean", "ori_latent_std",
                       "cond_latent_mean", "cond_latent_std"):
-                model_states[k] = np.asarray(stats[k])
+                model_states[k] = stats[k]
         return model_states, optim_states
 
     def get_latent_mean_std(self):
@@ -281,28 +285,34 @@ class BBDMRunner(DiffusionBaseRunner):
 
         if self.config.testing.get("sample_mid_step", False):
             imgs, one_step = self._sample_mid_fn(
-                params, self.next_rng(), jnp.asarray(x_cond), stats)
-            self.save_images(
-                np.asarray(imgs), make_dir(os.path.join(sample_path, "reverse_sample")),
-                grid_size, save_interval=max(len(self.model.steps) // 4, 1),
-                writer_tag=f"{stage}_sample" if stage != "test" else None)
-            self.save_images(
-                np.asarray(one_step),
-                make_dir(os.path.join(sample_path, "reverse_one_step_samples")),
-                grid_size, save_interval=max(len(self.model.steps) // 4, 1),
-                writer_tag=f"{stage}_one_step_sample" if stage != "test" else None)
+                params, self.next_sample_rng(), jnp.asarray(x_cond), stats)
+            if self.is_main_process:
+                self.save_images(
+                    np.asarray(imgs), make_dir(os.path.join(sample_path, "reverse_sample")),
+                    grid_size, save_interval=max(len(self.model.steps) // 4, 1),
+                    writer_tag=f"{stage}_sample" if stage != "test" else None)
+                self.save_images(
+                    np.asarray(one_step),
+                    make_dir(os.path.join(sample_path, "reverse_one_step_samples")),
+                    grid_size, save_interval=max(len(self.model.steps) // 4, 1),
+                    writer_tag=f"{stage}_one_step_sample" if stage != "test" else None)
         sample = np.asarray(
             self._sample_fn(
-                params, self.next_rng(), self._put_sample_batch(x_cond), stats,
+                params, self.next_sample_rng(), self._put_sample_batch(x_cond), stats,
             )
         )
 
+        # file/TB writes are rank-0-only: under multi-host TP/FSDP every
+        # process runs the computation above (its gathers are collectives),
+        # but all processes share one filesystem tree
+        if not self.is_main_process:
+            return
         for name, img in (("skip_sample", sample), ("condition", x_cond), ("ground_truth", x)):
             grid = get_image_grid(img, grid_size, to_normal=to_normal)
             from PIL import Image
 
             Image.fromarray(grid).save(os.path.join(sample_path, f"{name}.png"))
-            if stage != "test" and self.is_main_process:
+            if stage != "test":
                 tag = {"skip_sample": f"{stage}_skip_sample",
                        "condition": f"{stage}_condition",
                        "ground_truth": f"{stage}_ground_truth"}[name]
@@ -356,10 +366,10 @@ class BBDMRunner(DiffusionBaseRunner):
             # all sample_num draws in ONE dispatch (encode/context/pre-cast
             # shared across draws); [1, ...] from _sample_fn when sample_num=1
             if sample_num > 1:
-                dev = self._sample_multi_fn(params, self.next_rng(), x_cond,
-                                            stats)
+                dev = self._sample_multi_fn(params, self.next_sample_rng(),
+                                            x_cond, stats)
             else:
-                dev = self._sample_fn(params, self.next_rng(), x_cond,
+                dev = self._sample_fn(params, self.next_sample_rng(), x_cond,
                                       stats)[None]
             inflight.append((dev, batch_np))
         while inflight:

@@ -29,6 +29,7 @@ from flax import serialization
 from bbdm_tpu.checkpoints.io import load_checkpoint, save_checkpoint
 from bbdm_tpu.models.discriminator import NLayerDiscriminator
 from bbdm_tpu.models.vqgan import VQModel
+from bbdm_tpu.parallel import fetch_tree
 from bbdm_tpu.registry import Registers
 from bbdm_tpu.runners.base import BaseRunner
 from bbdm_tpu.runners.utils import make_dir
@@ -140,22 +141,24 @@ class VQGANRunner(BaseRunner):
     # ---------------------------------------------------------- checkpoints
 
     def get_checkpoint_states(self, stage="epoch_end"):
+        # fetch_tree (not device_get): collective all-gather of any
+        # cross-process TP/FSDP shards — see BaseRunner.get_checkpoint_states
         state = self.state
         model_states = {
             "step": int(state.step),
             "model": {
-                "vqgan": serialization.to_state_dict(jax.device_get(state.gen_params)),
+                "vqgan": serialization.to_state_dict(fetch_tree(state.gen_params)),
                 "discriminator": serialization.to_state_dict(
-                    jax.device_get(state.disc_params)),
+                    fetch_tree(state.disc_params)),
                 "disc_stats": serialization.to_state_dict(
-                    jax.device_get(state.disc_stats)) if state.disc_stats is not None else None,
+                    fetch_tree(state.disc_stats)) if state.disc_stats is not None else None,
             },
             "epoch": self.global_epoch if stage == "exception" else self.global_epoch + 1,
         }
         optimizer_scheduler_states = {
             "optimizer": [
-                serialization.to_state_dict(jax.device_get(state.gen_opt)),
-                serialization.to_state_dict(jax.device_get(state.disc_opt)),
+                serialization.to_state_dict(fetch_tree(state.gen_opt)),
+                serialization.to_state_dict(fetch_tree(state.disc_opt)),
             ],
             "scheduler": [],
         }
@@ -217,12 +220,16 @@ class VQGANRunner(BaseRunner):
         # global mesh in a multi-host run (BaseRunner.sample_mesh)
         gen = self._place_for_sampling(self.state.gen_params)
         xrec = np.asarray(self.model.reconstruct(gen, jnp.asarray(x)))
+        # writes are rank-0-only: under multi-host TP/FSDP every process runs
+        # the gather+reconstruct above, but all share one filesystem tree
+        if not self.is_main_process:
+            return
         from PIL import Image
 
         for name, img in (("input", x), ("reconstruction", xrec)):
             grid = get_image_grid(img, 4, to_normal=to_normal)
             Image.fromarray(grid).save(os.path.join(sample_path, f"{name}.png"))
-            if stage != "test" and self.is_main_process:
+            if stage != "test":
                 self.writer.add_image(f"{stage}_{name}", grid, self.global_step,
                                       dataformats="HWC")
 

@@ -149,6 +149,55 @@ def main():
         f"rank-0-only vqgan ckpt violated: proc {idx} has_ckpt={has_vq_ckpt}")
     print(f"[proc {idx}] vqgan train ok, rank0_ckpt={has_vq_ckpt}")
 
+    # ---- multi-host TP + FSDP (VERDICT r3 item 5): mesh (data=2, model=2)
+    # with the 'data' axis spanning the two processes, so params/moments/EMA
+    # are CROSS-PROCESS sharded. Exercises every collective-participation
+    # path: mid-train rank-0 sampling (EMA gather inside sample()), the
+    # epoch checkpoint fetch (fetch_tree all-gather), and cross-process
+    # state equality after a real optimizer update.
+    from bbdm_tpu.parallel import fetch_tree
+
+    cfg5 = make_config(root, os.path.join(root, "data"),
+                       n_epochs=1, mesh_devices=None, accumulate_grad_batches=1,
+                       sample_interval=1, model_parallel=2, fsdp=True)
+    cfg5.data.train.batch_size = 4
+    cfg5.data.val.batch_size = 4
+    cfg5.data.test.batch_size = 4
+    cfg5.args = make_args(os.path.join(root, f"results_tp_p{idx}"))
+    runner5 = get_runner("BBDMRunner", cfg5)
+    assert dict(runner5.mesh.shape) == {"data": 2, "model": 2}
+    runner5.train()
+    # the placed state really is cross-process sharded (not a vacuous test)
+    spans = any(
+        hasattr(leaf, "is_fully_addressable") and not leaf.is_fully_addressable
+        for leaf in jax.tree_util.tree_leaves(runner5.state.params))
+    assert spans, "TP/FSDP state unexpectedly fully addressable"
+    # fetch_tree is collective here; every process must see identical params
+    fetched = fetch_tree(runner5.state.params)
+    leafsum = np.float64(sum(float(np.asarray(l, np.float64).sum())
+                             for l in jax.tree_util.tree_leaves(fetched)))
+    sums = np.asarray(multihost_utils.process_allgather(np.asarray([leafsum])))
+    assert np.allclose(sums.ravel()[0], sums.ravel()), sums
+    tp_ckpt = os.path.join(runner5.config.result.ckpt_path, "last_model.ckpt")
+    has_tp_ckpt = os.path.exists(tp_ckpt)
+    assert has_tp_ckpt == (idx == 0), (
+        f"rank-0-only tp/fsdp ckpt violated: proc {idx} has_ckpt={has_tp_ckpt}")
+    if idx == 0:
+        # rank-0 mid-train sampling produced grids through the collective
+        # gather path, and the checkpoint roundtrips into a PURE-DP layout
+        img_dir = os.path.join(runner5.config.result.image_path, "1")
+        assert os.path.isdir(img_dir), img_dir
+        from bbdm_tpu.checkpoints.io import load_checkpoint
+
+        states = load_checkpoint(tp_ckpt)
+        from flax import serialization
+
+        restored = serialization.from_state_dict(fetched, states["model"])
+        rsum = sum(float(np.asarray(l, np.float64).sum())
+                   for l in jax.tree_util.tree_leaves(restored))
+        assert abs(rsum - leafsum) < 1e-3, (rsum, leafsum)
+    print(f"[proc {idx}] tp/fsdp train ok, rank0_ckpt={has_tp_ckpt}")
+
 
 if __name__ == "__main__":
     main()
