@@ -82,6 +82,11 @@ def main():
                     help="phase-D sample_num (canonical protocol: 5)")
     ap.add_argument("--bench-images", type=int, default=32,
                     help="phase-D test images to sweep (timed)")
+    ap.add_argument("--throughput-only", action="store_true",
+                    help="skip phases A-C and run ONLY the phase-D delivered-"
+                         "throughput benchmark (random-init weights unless "
+                         "--skip-vqgan provides a first stage; wall time is "
+                         "weight-independent)")
     ap.add_argument("--deadline-ts", type=float, default=None,
                     help="unix timestamp: phases not yet STARTED by this "
                          "time are skipped and the client exits cleanly "
@@ -115,7 +120,14 @@ def main():
     from bbdm_tpu.registry import get_runner
 
     # ---------------- phase A: first-stage VQGAN training ----------------
-    if args.skip_vqgan:
+    if args.throughput_only:
+        # Delivered-throughput benchmark only (VERDICT r3 item 4): wall time
+        # is weight-independent, so random-init VQGAN+bridge measure the
+        # identical compute/IO path without a trained checkpoint.
+        vq_ckpt = args.skip_vqgan
+        print("[chain] --throughput-only: phases A-C skipped "
+              f"(first stage: {vq_ckpt or 'random init'})", flush=True)
+    elif args.skip_vqgan:
         vq_ckpt = args.skip_vqgan
         print(f"[chain] phase A skipped, using {vq_ckpt}", flush=True)
     elif os.path.exists(report_path(args.result, "vqgan")):
@@ -149,6 +161,8 @@ def main():
     if os.path.exists(report_path(args.result, "bridge")):
         bridge_ckpt = read_report(args.result, "bridge")["ckpt"]
         print(f"[chain] phase B report exists, using {bridge_ckpt}", flush=True)
+    elif args.throughput_only:
+        pass
     elif past_deadline("B"):
         return
     else:
@@ -172,6 +186,8 @@ def main():
     # ---------------- phase C: sample_to_eval + weights-free metrics -----
     if os.path.exists(report_path(args.result, "eval")):
         print("[chain] phase C report exists, skipping", flush=True)
+    elif args.throughput_only:
+        pass
     elif past_deadline("C"):
         return
     else:
@@ -239,6 +255,10 @@ def main():
         cfg_d = lbbdm_cfg()
         cfg_d.model.model_load_path = bridge_ckpt
         cfg_d.model.model_name = "LBBDM-f4-chain-tput"
+        if bridge_ckpt is None:
+            # random-init bench path: no latent stats exist anywhere; the
+            # normalize is two scalar affines per stream (wall-time neutral)
+            cfg_d.model.normalize_latent = False
         cfg_d.testing.sample_num = args.bench_sample_num
         apply_cli_overrides(cfg_d, make_args(args.result, train=False,
                                              sample_to_eval=True))
