@@ -61,8 +61,19 @@ def main():
     ap.add_argument("--variants",
                     default="euler:100,euler:50,euler:20,heun:25,heun:10",
                     help="phase-S sampler:steps list (euler:200 is phase E)")
+    ap.add_argument("--deadline-ts", type=float, default=None,
+                    help="unix timestamp: phases not yet STARTED by this "
+                         "time are skipped and the client exits cleanly "
+                         "(reports make the next invocation resume there)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
+
+    def past_deadline(phase):
+        if args.deadline_ts is not None and time.time() > args.deadline_ts:
+            print(f"[pixel] deadline passed, skipping phase {phase} "
+                  "(resumable: re-run the same command later)", flush=True)
+            return True
+        return False
 
     import jax
 
@@ -93,6 +104,8 @@ def main():
     # ---------------- phase T: train to plateau --------------------------
     if os.path.exists(report_path(args.result, "train")):
         print("[pixel:train] report exists, skipping", flush=True)
+    elif past_deadline("train"):
+        return
     else:
         cfg = load_config(args.config)
         resume = os.path.exists(bridge_ckpt) and os.path.exists(optim_ckpt)
@@ -119,6 +132,8 @@ def main():
             print(f"[pixel:{phase}] report exists, skipping", flush=True)
             with open(report_path(args.result, phase)) as f:
                 return json.load(f)
+        if past_deadline(phase):
+            return None
         cfg = load_config(args.config)
         cfg.model.model_load_path = bridge_ckpt
         cfg.model.model_name = f"{model_name}-{sampler}{steps}"
@@ -154,7 +169,7 @@ def main():
         rows.append(run_variant(sampler, int(steps), f"sweep_{sampler}{steps}"))
 
     print("[pixel] final table (PSNR/SSIM vs gt; floor = condition vs gt):")
-    for r in rows:
+    for r in filter(None, rows):
         print(f"  {r['sampler']:5s} steps={r['steps']:4d} NFE={r['nfe']:4d} "
               f"PSNR={r['sample_vs_gt']['psnr']:.2f} "
               f"SSIM={r['sample_vs_gt']['ssim']:.3f} "
