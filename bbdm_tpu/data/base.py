@@ -22,8 +22,25 @@ _USE_NATIVE = os.environ.get("BBDM_NATIVE", "1") != "0"
 _RAM_CACHE: dict = {}
 _RAM_CACHE_BYTES = 0
 # soft size cap: enabling cache_in_ram on a dataset too big for host RAM
-# should fail loudly with the knob named, not OOM the 1-core host
-_RAM_CACHE_CAP_BYTES = int(float(os.environ.get("BBDM_CACHE_CAP_MB", "4096")) * 2**20)
+# should fail loudly with the knob named, not OOM the host
+
+
+def _default_cache_cap_mb() -> float:
+    """Default cap scales with the host: 25% of MemAvailable, floored at
+    4096 MB (the old fixed default, kept for small/unknown hosts)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_mb = int(line.split()[1]) / 1024.0
+                    return max(4096.0, 0.25 * avail_mb)
+    except OSError:
+        pass
+    return 4096.0
+
+
+_RAM_CACHE_CAP_BYTES = int(
+    float(os.environ.get("BBDM_CACHE_CAP_MB") or _default_cache_cap_mb()) * 2**20)
 
 
 def clear_image_cache() -> None:

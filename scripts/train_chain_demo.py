@@ -55,6 +55,20 @@ def report_path(result_dir, phase):
     return os.path.join(result_dir, f"report_{phase}.json")
 
 
+def resume_paths(result_dir, dataset_name, model_name):
+    """Mid-phase crash resilience: when a training phase died (its report is
+    absent) but its runner already wrote last_model/last_optim_sche — the
+    periodic save cadence or the emergency exception/SIGTERM save
+    (runners/base.py) — resume from those instead of restarting the phase."""
+    ck = os.path.join(result_dir, dataset_name, model_name, "checkpoint")
+    model = os.path.join(ck, "last_model.ckpt")
+    optim = os.path.join(ck, "last_optim_sche.ckpt")
+    if os.path.exists(model) and os.path.exists(optim):
+        print(f"[chain] resuming phase from {model}", flush=True)
+        return {"resume_model": model, "resume_optim": optim}
+    return {}
+
+
 def write_report(result_dir, phase, payload):
     os.makedirs(result_dir, exist_ok=True)
     with open(report_path(result_dir, phase), "w") as f:
@@ -136,7 +150,10 @@ def main():
     else:
         print("[chain] phase A: VQGAN-f4 first-stage training", flush=True)
         cfg_a = load_config(args.vqgan_config)
-        apply_cli_overrides(cfg_a, make_args(args.result, max_epoch=args.epochs_a))
+        apply_cli_overrides(cfg_a, make_args(
+            args.result, max_epoch=args.epochs_a,
+            **resume_paths(args.result, cfg_a.data.dataset_name,
+                           cfg_a.model.model_name)))
         t0 = time.perf_counter()
         runner_a = get_runner(cfg_a.runner, cfg_a)
         runner_a.train()
@@ -169,7 +186,10 @@ def main():
         print("[chain] phase B: LBBDM-f4 bridge training on the trained "
               "first stage", flush=True)
         cfg_b = lbbdm_cfg()
-        apply_cli_overrides(cfg_b, make_args(args.result, max_epoch=args.epochs_b))
+        apply_cli_overrides(cfg_b, make_args(
+            args.result, max_epoch=args.epochs_b,
+            **resume_paths(args.result, cfg_b.data.dataset_name,
+                           cfg_b.model.model_name)))
         t0 = time.perf_counter()
         runner_b = get_runner(cfg_b.runner, cfg_b)
         runner_b.train()
