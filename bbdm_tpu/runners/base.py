@@ -237,7 +237,9 @@ class BaseRunner(ABC):
         model_states = {
             "step": int(state.step),
             "model": serialization.to_state_dict(fetch_tree(state.params)),
-            "epoch": self.global_epoch if stage == "exception" else self.global_epoch + 1,
+            # epoch_end saves resume at the NEXT epoch; exception/graceful_stop
+            # saves land mid-epoch and must redo the partial epoch on resume
+            "epoch": self.global_epoch + 1 if stage == "epoch_end" else self.global_epoch,
         }
         if self.use_ema:
             model_states["ema"] = serialization.to_state_dict(fetch_tree(state.ema_params))
@@ -410,13 +412,73 @@ class BaseRunner(ABC):
         profile_steps = training.get("profile_steps", 5)
         profiling = False
 
-        # SIGTERM (preemption / cluster manager) routes into the same
-        # emergency-save path as exceptions (SURVEY.md §5: the reference only
-        # catches in-process exceptions, `BaseRunner.py:537-554`)
+        # ---- graceful stop (cooperative, honored at step boundaries) ------
+        # Three triggers end training with an ORDERLY latest+last checkpoint
+        # save and a normal return — the process can exit cleanly or proceed
+        # to its next phase with no emergency unwind and no in-flight device
+        # work (an abrupt client exit can strand the TPU-server claim for
+        # ~40-75 min — CLAUDE.md claim economics):
+        #   * SIGTERM: FIRST delivery requests the graceful stop; a SECOND
+        #     escalates to the legacy emergency-save raise (wedged-step
+        #     safety, and the reference-parity behavior `BaseRunner.py:537-554`)
+        #   * stop file: `touch <result>/<model>/STOP` from another shell
+        #     (consumed on honor, so a later resume doesn't instantly stop)
+        #   * wall budget: `training.max_wall_sec` caps this train() call —
+        #     time-boxing for bounded sessions / preemptible capacity
+        stop_reason = None
+        unwinding = False
+        train_t0 = time.monotonic()
+        max_wall = training.get("max_wall_sec", None)
+        stop_file = training.get(
+            "stop_file", os.path.join(self.config.result.result_path, "STOP"))
+        stop_sync_every = max(int(training.get("stop_sync_interval", 25)), 1)
+        nprocs = jax.process_count()
+
+        def _local_stop_trigger():
+            if stop_reason is not None:
+                return stop_reason
+            if max_wall is not None and time.monotonic() - train_t0 > float(max_wall):
+                return f"wall budget ({max_wall}s) exhausted"
+            if stop_file and os.path.exists(stop_file):
+                return f"stop file {stop_file} present"
+            return None
+
+        def _poll_stop():
+            nonlocal stop_reason
+            if nprocs == 1:
+                stop_reason = _local_stop_trigger()
+                return stop_reason
+            # multi-host: the cadenced validation/sampling/save paths are
+            # collective, so the stop decision must be identical everywhere.
+            # Rank 0 evaluates the triggers; every process adopts its answer
+            # at a fixed step cadence. (A SIGTERM delivered to a non-zero
+            # rank alone therefore does not stop gracefully — its second
+            # delivery escalates to the emergency raise.)
+            if self.global_step % stop_sync_every != 0:
+                return None
+            import numpy as _np
+            from jax.experimental import multihost_utils
+
+            flag = _np.int32(
+                1 if (self.is_main_process and _local_stop_trigger()) else 0)
+            if int(multihost_utils.broadcast_one_to_all(flag)) == 1:
+                stop_reason = (_local_stop_trigger() if self.is_main_process
+                               else "stop broadcast from rank 0")
+            return stop_reason
+
+        # SIGTERM (preemption / cluster manager): first delivery defers to
+        # the graceful stop above; repeats route into the emergency-save
+        # exception path (SURVEY.md §5)
         import signal
 
         def _sigterm(signum, frame):
-            raise KeyboardInterrupt("SIGTERM")
+            nonlocal stop_reason
+            if stop_reason is None and not unwinding:
+                stop_reason = "SIGTERM"
+                self.logger("SIGTERM: stopping at the next step boundary "
+                            "(send again to force the emergency-save raise)")
+            else:
+                raise KeyboardInterrupt("SIGTERM")
 
         old_handler = None
         try:
@@ -425,7 +487,6 @@ class BaseRunner(ABC):
             pass
 
         average_loss = float("nan")
-        unwinding = False
         try:
             for epoch in range(start_epoch, training.n_epochs):
                 if self.global_step > training.n_steps:
@@ -469,6 +530,9 @@ class BaseRunner(ABC):
                         # file/TB writes stay rank-0-gated inside sample()
                         self.sample_step(train_batch=train_batch, val_batch=next_val_batch())
 
+                    if _poll_stop():
+                        break
+
                 if pending_log is not None and self.is_main_process:
                     self.writer.add_scalar(
                         "loss/train", float(pending_log[1]["loss"]), pending_log[0])
@@ -476,26 +540,34 @@ class BaseRunner(ABC):
                 elapsed = int(round(time.time() - start_time))
                 self.logger(f"training time: {elapsed}s (epoch {epoch + 1})")
 
-                # epoch validation (reference :459-466)
-                if (epoch + 1) % training.validation_interval == 0 or (
-                    epoch + 1
-                ) == training.n_epochs:
+                # epoch validation (reference :459-466) — skipped on a
+                # graceful stop: promptness beats one more val number
+                if stop_reason is None and (
+                    (epoch + 1) % training.validation_interval == 0
+                    or (epoch + 1) == training.n_epochs
+                ):
                     self.logger("validating epoch...")
                     average_loss = self.validation_epoch(val_loader, epoch)
                     self.logger(f"validating epoch success (avg loss {average_loss:.6f})")
 
                 # checkpoints (reference :468-534)
                 save_now = (
-                    (epoch + 1) % training.save_interval == 0
+                    stop_reason is not None
+                    or (epoch + 1) % training.save_interval == 0
                     or (epoch + 1) == training.n_epochs
                     or self.global_step > training.n_steps
                 )
+                if stop_reason is not None:
+                    self.logger(f"graceful stop ({stop_reason}): saving "
+                                "latest checkpoint, then returning cleanly")
                 if save_now and (self.is_main_process or self._cross_host_state):
                     self.logger("saving latest checkpoint...")
                     self.on_save_checkpoint(train_loader, val_loader, epoch, self.global_step)
                     # the state fetch is collective under multi-host TP/FSDP
                     # — every process participates; only rank 0 writes below
-                    model_states, optim_states = self.get_checkpoint_states()
+                    model_states, optim_states = self.get_checkpoint_states(
+                        stage="graceful_stop" if stop_reason is not None
+                        else "epoch_end")
                 if save_now and self.is_main_process:
                     ckpt_path = self.config.result.ckpt_path
                     # drain pending writers before deleting: a remove racing
@@ -524,6 +596,13 @@ class BaseRunner(ABC):
 
                     if self.config.args.save_top:
                         self._save_top_checkpoint(average_loss, epoch, model_states, optim_states)
+
+                if stop_reason is not None:
+                    # consume the stop file so a later resume doesn't stop
+                    # instantly; then return through the normal epilogue
+                    if self.is_main_process and stop_file and os.path.exists(stop_file):
+                        os.remove(stop_file)
+                    break
         except BaseException as e:
             unwinding = True
             # reference bug `:538` gates on the wrong rank — save on rank 0.

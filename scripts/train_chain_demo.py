@@ -92,6 +92,13 @@ def main():
                     help="cap phase-A n_epochs (time-box long configs)")
     ap.add_argument("--epochs-b", type=int, default=None,
                     help="cap phase-B n_epochs (time-box long configs)")
+    ap.add_argument("--wall-a", type=float, default=None,
+                    help="wall-clock budget (sec) for phase-A training: the "
+                         "runner stops gracefully at a step boundary, saves, "
+                         "and the chain proceeds to phase B in-process "
+                         "(training.max_wall_sec)")
+    ap.add_argument("--wall-b", type=float, default=None,
+                    help="wall-clock budget (sec) for phase-B training")
     ap.add_argument("--bench-sample-num", type=int, default=5,
                     help="phase-D sample_num (canonical protocol: 5)")
     ap.add_argument("--bench-images", type=int, default=32,
@@ -154,6 +161,8 @@ def main():
             args.result, max_epoch=args.epochs_a,
             **resume_paths(args.result, cfg_a.data.dataset_name,
                            cfg_a.model.model_name)))
+        if args.wall_a is not None:
+            cfg_a.training.max_wall_sec = args.wall_a
         t0 = time.perf_counter()
         runner_a = get_runner(cfg_a.runner, cfg_a)
         runner_a.train()
@@ -190,6 +199,8 @@ def main():
             args.result, max_epoch=args.epochs_b,
             **resume_paths(args.result, cfg_b.data.dataset_name,
                            cfg_b.model.model_name)))
+        if args.wall_b is not None:
+            cfg_b.training.max_wall_sec = args.wall_b
         t0 = time.perf_counter()
         runner_b = get_runner(cfg_b.runner, cfg_b)
         runner_b.train()
