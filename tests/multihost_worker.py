@@ -198,6 +198,36 @@ def main():
         assert abs(rsum - leafsum) < 1e-3, (rsum, leafsum)
     print(f"[proc {idx}] tp/fsdp train ok, rank0_ckpt={has_tp_ckpt}")
 
+    # ---- graceful stop under multi-host: the stop decision is evaluated by
+    # rank 0 (here: a pre-placed STOP file in ITS result dir) and broadcast
+    # at the training.stop_sync_interval cadence, so every process leaves
+    # the collective train loop at the SAME step boundary and returns
+    # normally (runners/base.py _poll_stop)
+    cfg6 = make_config(root, os.path.join(root, "data"),
+                       n_epochs=50, mesh_devices=None,
+                       accumulate_grad_batches=1, stop_sync_interval=1)
+    cfg6.data.train.batch_size = 4
+    cfg6.data.val.batch_size = 4
+    cfg6.data.test.batch_size = 4
+    cfg6.args = make_args(os.path.join(root, f"results_gs_p{idx}"),
+                          save_top=False)
+    runner6 = get_runner("BBDMRunner", cfg6)
+    stop_file = os.path.join(runner6.config.result.result_path, "STOP")
+    if idx == 0:
+        open(stop_file, "w").close()
+    multihost_utils.sync_global_devices("stop_file_placed")
+    runner6.train()  # returns normally on BOTH processes
+    steps = np.asarray(multihost_utils.process_allgather(
+        np.asarray([runner6.global_step])))
+    assert np.all(steps == steps.ravel()[0]), f"stop step diverged: {steps}"
+    assert runner6.global_step == 1, runner6.global_step
+    if idx == 0:
+        assert not os.path.exists(stop_file), "stop file must be consumed"
+    gs_ckpt = os.path.join(runner6.config.result.ckpt_path, "last_model.ckpt")
+    assert os.path.exists(gs_ckpt) == (idx == 0), (
+        f"rank-0-only graceful-stop ckpt violated on proc {idx}")
+    print(f"[proc {idx}] multi-host graceful stop ok at step {runner6.global_step}")
+
 
 if __name__ == "__main__":
     main()
