@@ -9,6 +9,7 @@ indices past the original length return the horizontally flipped image.
 from __future__ import annotations
 
 import os
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -16,11 +17,13 @@ from PIL import Image
 
 _USE_NATIVE = os.environ.get("BBDM_NATIVE", "1") != "0"
 
-# Process-wide decoded-image cache (see ``load_image(cache=True)``). Plain
-# dict: CPython dict get/set are atomic under the GIL, so concurrent loader
-# threads at worst decode the same image twice before one wins — benign.
+# Process-wide decoded-image cache (see ``load_image(cache=True)``). Two
+# loader threads missing on the same key may both decode (benign, the
+# producer runs outside the lock); the check-and-insert itself is locked so
+# the byte counter only ever counts the entry that actually landed.
 _RAM_CACHE: dict = {}
 _RAM_CACHE_BYTES = 0
+_RAM_CACHE_LOCK = threading.Lock()
 # soft size cap: enabling cache_in_ram on a dataset too big for host RAM
 # should fail loudly with the knob named, not OOM the host
 
@@ -45,8 +48,9 @@ _RAM_CACHE_CAP_BYTES = int(
 
 def clear_image_cache() -> None:
     global _RAM_CACHE_BYTES
-    _RAM_CACHE.clear()
-    _RAM_CACHE_BYTES = 0
+    with _RAM_CACHE_LOCK:
+        _RAM_CACHE.clear()
+        _RAM_CACHE_BYTES = 0
 
 
 def cache_image(key, producer) -> np.ndarray:
@@ -60,17 +64,21 @@ def cache_image(key, producer) -> np.ndarray:
     hit = _RAM_CACHE.get(key)
     if hit is not None:
         return hit
-    arr = producer()
-    if _RAM_CACHE_BYTES + arr.nbytes > _RAM_CACHE_CAP_BYTES:
-        raise RuntimeError(
-            f"cache_in_ram footprint would exceed "
-            f"{_RAM_CACHE_CAP_BYTES / 2**20:.0f} MB after "
-            f"{len(_RAM_CACHE) + 1} images (~{arr.nbytes / 2**20:.2f} MB "
-            "each) — disable dataset_config.cache_in_ram for this dataset "
-            "or raise BBDM_CACHE_CAP_MB")
-    arr.setflags(write=False)
-    _RAM_CACHE[key] = arr
-    _RAM_CACHE_BYTES += arr.nbytes
+    arr = producer()  # outside the lock: decode must not serialize threads
+    with _RAM_CACHE_LOCK:
+        hit = _RAM_CACHE.get(key)
+        if hit is not None:  # another thread won the race — count it once
+            return hit
+        if _RAM_CACHE_BYTES + arr.nbytes > _RAM_CACHE_CAP_BYTES:
+            raise RuntimeError(
+                f"cache_in_ram footprint would exceed "
+                f"{_RAM_CACHE_CAP_BYTES / 2**20:.0f} MB after "
+                f"{len(_RAM_CACHE) + 1} images (~{arr.nbytes / 2**20:.2f} MB "
+                "each) — disable dataset_config.cache_in_ram for this dataset "
+                "or raise BBDM_CACHE_CAP_MB")
+        arr.setflags(write=False)
+        _RAM_CACHE[key] = arr
+        _RAM_CACHE_BYTES += arr.nbytes
     return arr
 
 

@@ -452,8 +452,9 @@ class BaseRunner(ABC):
             # collective, so the stop decision must be identical everywhere.
             # Rank 0 evaluates the triggers; every process adopts its answer
             # at a fixed step cadence. (A SIGTERM delivered to a non-zero
-            # rank alone therefore does not stop gracefully — its second
-            # delivery escalates to the emergency raise.)
+            # rank alone does not stop gracefully — the handler ignores it
+            # there so this rank never breaks out of the collective loop on
+            # its own; its second delivery escalates to the emergency raise.)
             if self.global_step % stop_sync_every != 0:
                 return None
             import numpy as _np
@@ -471,14 +472,26 @@ class BaseRunner(ABC):
         # exception path (SURVEY.md §5)
         import signal
 
+        sigterm_seen = False
+
         def _sigterm(signum, frame):
-            nonlocal stop_reason
-            if stop_reason is None and not unwinding:
-                stop_reason = "SIGTERM"
-                self.logger("SIGTERM: stopping at the next step boundary "
-                            "(send again to force the emergency-save raise)")
-            else:
+            nonlocal stop_reason, sigterm_seen
+            if unwinding or sigterm_seen or stop_reason is not None:
                 raise KeyboardInterrupt("SIGTERM")
+            sigterm_seen = True
+            if nprocs > 1 and not self.is_main_process:
+                # The stop decision is rank-0's broadcast alone: setting
+                # stop_reason here would break ONLY this rank out of the
+                # collective train loop (validation/ckpt fetches are
+                # collectives) — divergence/deadlock. Ignore the first
+                # delivery; the second escalates to the emergency raise above.
+                self.logger("SIGTERM on a non-main rank: ignored for the "
+                            "graceful stop (rank 0 decides; send again to "
+                            "force the emergency-save raise)")
+                return
+            stop_reason = "SIGTERM"
+            self.logger("SIGTERM: stopping at the next step boundary "
+                        "(send again to force the emergency-save raise)")
 
         old_handler = None
         try:

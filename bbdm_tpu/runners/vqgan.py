@@ -153,7 +153,10 @@ class VQGANRunner(BaseRunner):
                 "disc_stats": serialization.to_state_dict(
                     fetch_tree(state.disc_stats)) if state.disc_stats is not None else None,
             },
-            "epoch": self.global_epoch if stage == "exception" else self.global_epoch + 1,
+            # epoch_end saves resume at the NEXT epoch; exception/graceful_stop
+            # saves land mid-epoch and must redo the partial epoch on resume
+            # (mirrors BaseRunner.get_checkpoint_states)
+            "epoch": self.global_epoch + 1 if stage == "epoch_end" else self.global_epoch,
         }
         optimizer_scheduler_states = {
             "optimizer": [
