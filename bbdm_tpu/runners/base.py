@@ -661,6 +661,11 @@ class BaseRunner(ABC):
                 wait_for_saves()
             if old_handler is not None:
                 signal.signal(signal.SIGTERM, old_handler)
+            # expose why training ended (None = ran to completion): phase
+            # chains (scripts/train_chain_demo.py) must distinguish an
+            # intentional time-box (wall budget) from an external interrupt
+            # (SIGTERM / stop file) that should end the whole chain resumably
+            self.stop_reason = stop_reason
 
     def _save_top_checkpoint(self, average_loss, epoch, model_states, optim_states):
         """Single-slot best-val-loss checkpoint (reference :498-534)."""

@@ -122,6 +122,19 @@ def main():
             return True
         return False
 
+    def interrupted(runner, phase):
+        """True when the phase's training was cut short by an EXTERNAL
+        graceful stop (SIGTERM / STOP file): the phase is NOT done, so no
+        report may be written — the next invocation must resume it from
+        last_model.ckpt. A wall-budget stop (--wall-a/--wall-b) is an
+        intentional time-box and counts as phase completion."""
+        stop = getattr(runner, "stop_reason", None)
+        if stop is None or stop.startswith("wall budget"):
+            return False
+        print(f"[chain] phase {phase} interrupted ({stop}); exiting without "
+              "a report — re-run the same command to resume", flush=True)
+        return True
+
     import jax
 
     if args.cpu:
@@ -166,6 +179,8 @@ def main():
         t0 = time.perf_counter()
         runner_a = get_runner(cfg_a.runner, cfg_a)
         runner_a.train()
+        if interrupted(runner_a, "A"):
+            return
         vq_ckpt = os.path.join(runner_a.config.result.ckpt_path, "last_model.ckpt")
         del runner_a
         gc.collect()
@@ -204,6 +219,8 @@ def main():
         t0 = time.perf_counter()
         runner_b = get_runner(cfg_b.runner, cfg_b)
         runner_b.train()
+        if interrupted(runner_b, "B"):
+            return
         bridge_ckpt = os.path.join(runner_b.config.result.ckpt_path, "last_model.ckpt")
         del runner_b
         gc.collect()

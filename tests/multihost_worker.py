@@ -228,6 +228,50 @@ def main():
         f"rank-0-only graceful-stop ckpt violated on proc {idx}")
     print(f"[proc {idx}] multi-host graceful stop ok at step {runner6.global_step}")
 
+    # ---- lone-rank SIGTERM (round-4 advisor finding): SIGTERM delivered to
+    # a NON-ZERO rank alone must not break that rank out of the collective
+    # train loop (validation/ckpt fetches are collectives — a lone departure
+    # is divergence/deadlock). The handler ignores the first delivery on
+    # non-main ranks; rank-0's broadcast is the only stop decision. Both
+    # ranks must therefore complete the full epoch in lockstep.
+    import signal as _signal
+
+    from bbdm_tpu.runners.bbdm import BBDMRunner
+
+    class _LoneSigtermRunner(BBDMRunner):
+        # next_rng is called once per train step, INSIDE train() where the
+        # SIGTERM handler is installed — a deterministic mid-loop delivery
+        # point (a timer thread would race handler installation)
+        def next_rng(self):
+            if idx == 1 and self.global_step == 0 and not getattr(
+                    self, "_sig_sent", False):
+                self._sig_sent = True
+                os.kill(os.getpid(), _signal.SIGTERM)
+            return super().next_rng()
+
+    # 2 epochs x 1 step: with the pre-fix behavior rank 1 leaves the loop
+    # after step 1 (its local stop_reason set) while rank 0 trains on —
+    # the collective epoch validation then deadlocks/diverges
+    cfg7 = make_config(root, os.path.join(root, "data"),
+                       n_epochs=2, mesh_devices=None,
+                       accumulate_grad_batches=1)
+    cfg7.data.train.batch_size = 4
+    cfg7.data.val.batch_size = 4
+    cfg7.data.test.batch_size = 4
+    cfg7.args = make_args(os.path.join(root, f"results_ls_p{idx}"),
+                          save_top=False)
+    runner7 = _LoneSigtermRunner(cfg7)
+    runner7.train()  # must complete BOTH epochs on BOTH ranks (8 imgs / gb 8)
+    steps = np.asarray(multihost_utils.process_allgather(
+        np.asarray([runner7.global_step])))
+    assert np.all(steps == steps.ravel()[0]), f"steps diverged: {steps}"
+    assert runner7.global_step == 2, runner7.global_step
+    assert runner7.stop_reason is None, (
+        f"lone rank-{idx} SIGTERM must not set a stop: {runner7.stop_reason}")
+    if idx == 1:
+        assert runner7._sig_sent, "SIGTERM was never actually delivered"
+    print(f"[proc {idx}] lone-rank SIGTERM ignored ok")
+
 
 if __name__ == "__main__":
     main()

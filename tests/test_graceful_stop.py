@@ -64,6 +64,41 @@ def test_stop_file_stops_and_is_consumed(workdir):
     assert "last_model.ckpt" in os.listdir(runner.config.result.ckpt_path)
 
 
+def test_vqgan_graceful_stop_redoes_partial_epoch(tmp_path):
+    """VQGANRunner mirrors BaseRunner's mid-epoch stop semantics: a graceful
+    stop saves epoch = global_epoch (redo the interrupted epoch on resume),
+    NOT global_epoch + 1 (which silently skipped the rest of the epoch —
+    round-4 advisor finding)."""
+    from bbdm_tpu.checkpoints.io import load_checkpoint
+
+    from tests.test_vqgan_training import (make_single_image_dataset,
+                                           make_vqgan_config)
+
+    data = tmp_path / "data"
+    make_single_image_dataset(data)
+    cfg = make_vqgan_config(tmp_path / "res", data,
+                            n_epochs=50, max_wall_sec=0)
+    runner = get_runner("VQGANRunner", cfg)
+    runner.train()  # must RETURN, not raise
+    assert runner.global_step == 1
+
+    ckpt_dir = runner.config.result.ckpt_path
+    states = load_checkpoint(os.path.join(ckpt_dir, "last_model.ckpt"))
+    assert states["epoch"] == 0, "graceful_stop save must redo epoch 0"
+
+    cfg2 = make_vqgan_config(tmp_path / "res2", data)
+    cfg2.model.model_load_path = os.path.join(ckpt_dir, "last_model.ckpt")
+    cfg2.model.optim_sche_load_path = os.path.join(
+        ckpt_dir, "last_optim_sche.ckpt")
+    runner2 = get_runner("VQGANRunner", cfg2)
+    assert runner2.global_step == 1
+    assert runner2.global_epoch == 0
+    runner2.train()  # completes the (redone) epoch normally
+    states2 = load_checkpoint(
+        os.path.join(runner2.config.result.ckpt_path, "last_model.ckpt"))
+    assert states2["epoch"] == 1  # epoch_end save resumes at the NEXT epoch
+
+
 def test_sigterm_defers_to_step_boundary(workdir, monkeypatch):
     root, data = workdir
     cfg = make_config(root, data, n_epochs=50)

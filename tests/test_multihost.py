@@ -64,5 +64,7 @@ def test_two_process_train(tmp_path):
         assert f"[proc {i}] latent stats identical across hosts" in out, out[-4000:]
         assert f"[proc {i}] vqgan train ok" in out, out[-4000:]
         assert f"[proc {i}] tp/fsdp train ok" in out, out[-4000:]
+        assert f"[proc {i}] multi-host graceful stop ok" in out, out[-4000:]
+        assert f"[proc {i}] lone-rank SIGTERM ignored ok" in out, out[-4000:]
     assert "rank0_ckpt=True" in outs[0]
     assert "rank0_ckpt=False" in outs[1]
