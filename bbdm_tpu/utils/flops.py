@@ -132,6 +132,21 @@ def vqgan_flops(vq_params, *, encode: bool = True, decode: bool = True) -> float
     return total
 
 
+def training_flops_per_image(model_config) -> float:
+    """FLOPs to train on one example: UNet forward + backward on the latent
+    (backward ~= 2x forward, the standard accounting) plus, for LBBDM, the
+    two frozen first-stage ENCODES of image and condition (forward-only: no
+    gradient flows into the frozen VQGAN — reference
+    `model/BrownianBridge/LatentBrownianBridgeModel.py:33-44`). Optimizer /
+    EMA / accumulator updates are bandwidth-bound elementwise passes with
+    negligible FLOPs and are excluded on both sides of any comparison."""
+    bb = model_config.BB.params
+    f = 3.0 * unet_forward_flops(bb.UNetParams)
+    if model_config.model_type == "LBBDM":
+        f += 2.0 * vqgan_flops(model_config.VQGAN.params, decode=False)
+    return f
+
+
 def sampling_flops_per_image(model_config) -> float:
     """Total FLOPs to draw one sample (NFE UNet evals + VQGAN encode/decode).
 

@@ -113,6 +113,74 @@ def bench_pair(unet_kwargs, batch, size, in_ch, runs, tag):
     return t_torch, t_jax, n_params
 
 
+def bench_train_pair(unet_kwargs, batch, size, in_ch, runs, tag):
+    """Time one FULL train step (l1-loss forward + backward + Adam update)
+    on the reference torch UNet vs our jitted flax UNet + optax — the
+    reference's hot loop minus the frozen-VQGAN encode
+    (`/root/reference/runners/BaseRunner.py:398-423`: loss.backward(),
+    optimizer.step(); EMA rides a cadence and is excluded on both sides)."""
+    from bbdm_tpu.config import dict2namespace
+    from bbdm_tpu.models.unet import UNet
+
+    UNetModel = _load_reference_unet_class()
+    torch.manual_seed(0)
+    tnet = UNetModel(**unet_kwargs)
+    tnet.train()
+    opt = torch.optim.Adam(tnet.parameters(), lr=1e-4)
+
+    x_t = torch.randn(batch, in_ch, size, size)
+    tgt_t = torch.randn(batch, in_ch, size, size)
+    ts_t = torch.zeros(batch, dtype=torch.long)
+
+    def torch_step():
+        opt.zero_grad(set_to_none=True)
+        loss = (tnet(x_t, ts_t) - tgt_t).abs().mean()
+        loss.backward()
+        opt.step()
+        return float(loss)
+
+    for _ in range(1):
+        torch_step()
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        torch_step()
+    t_torch = (time.perf_counter() - t0) / runs
+
+    import optax
+
+    p = dict2namespace({**unet_kwargs, "attention_resolutions":
+                        tuple(unet_kwargs["attention_resolutions"]),
+                        "channel_mult": tuple(unet_kwargs["channel_mult"])})
+    jnet = UNet.from_config(p, condition_key="nocond", dtype=jnp.float32)
+    xj = jnp.asarray(x_t.numpy().transpose(0, 2, 3, 1))
+    tgtj = jnp.asarray(tgt_t.numpy().transpose(0, 2, 3, 1))
+    tsj = jnp.zeros((batch,), jnp.int32)
+    params = jax.jit(jnet.init)({"params": jax.random.PRNGKey(0)}, xj, tsj)["params"]
+    tx = optax.adam(1e-4)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def jax_step(params, opt_state, x, t, tgt):
+        def loss_fn(pr):
+            return jnp.abs(jnet.apply({"params": pr}, x, t) - tgt).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params, opt_state, loss = jax_step(params, opt_state, xj, tsj, tgtj)
+    float(loss)  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        params, opt_state, loss = jax_step(params, opt_state, xj, tsj, tgtj)
+        float(loss)
+    t_jax = (time.perf_counter() - t0) / runs
+
+    print(f"[{tag}] torch {t_torch*1e3:.1f} ms/step | jax(cpu) "
+          f"{t_jax*1e3:.1f} ms/step", file=sys.stderr)
+    return t_torch, t_jax
+
+
 def main():
     torch.set_num_threads(os.cpu_count() or 1)
 
@@ -136,11 +204,15 @@ def main():
     t_torch_tiny, t_jax_tiny, _ = bench_pair(
         tiny, batch=2, size=8, in_ch=3, runs=10, tag="tiny-8x8")
 
+    t_torch_train, t_jax_train = bench_train_pair(
+        flagship, batch=1, size=64, in_ch=3, runs=2, tag="flagship-train-step")
+
     from bbdm_tpu.utils.flops import unet_forward_flops
     from bbdm_tpu.config import dict2namespace
 
     fl = unet_forward_flops(dict2namespace({**flagship,
         "attention_resolutions": (32, 16, 8), "channel_mult": (1, 4, 8)}))
+    fl_train = 3.0 * fl  # fwd + bwd (~2x fwd), optimizer excluded both sides
 
     print(json.dumps({
         "metric": "reference torch vs bbdm_tpu, same-host CPU fp32",
@@ -156,6 +228,15 @@ def main():
         "tiny_unet_dispatch": {
             "torch_ms_per_forward": round(t_torch_tiny * 1e3, 2),
             "jax_cpu_ms_per_forward": round(t_jax_tiny * 1e3, 2),
+        },
+        "flagship_train_step": {
+            "what": "l1 fwd + backward + Adam, batch 1, 64x64 latent",
+            "flops_per_step_G": round(fl_train / 1e9, 1),
+            "torch_ms_per_step": round(t_torch_train * 1e3, 1),
+            "jax_cpu_ms_per_step": round(t_jax_train * 1e3, 1),
+            "torch_achieved_gflops": round(fl_train / t_torch_train / 1e9, 2),
+            "jax_cpu_achieved_gflops": round(fl_train / t_jax_train / 1e9, 2),
+            "jax_over_torch_speedup": round(t_torch_train / t_jax_train, 3),
         },
     }))
 

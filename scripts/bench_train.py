@@ -89,12 +89,28 @@ def main():
     float(metrics["loss"])
     dt = (time.perf_counter() - t0) / runs
 
+    # A100-reference estimate, same method as bench.py's sampling denominator
+    # (BASELINE.md: the repo publishes no train throughput): fwd+bwd UNet +
+    # frozen-VQGAN encodes at 35% of A100 TF32 peak. The CPU-measured anchor
+    # (scripts/bench_reference_torch.py flagship_train_step) shows the torch
+    # train step is per-FLOP efficient like its forward, so the 35%
+    # assumption carries over.
+    from bbdm_tpu.utils.flops import training_flops_per_image
+
+    flops_per_image = training_flops_per_image(config.model)
+    imgs_per_sec = batch / dt
+    ref_est = 0.35 * 156e12 / flops_per_image
+
     print(json.dumps({
         "metric": f"{config.model.model_name} {size}x{size} train step",
-        "value": round(batch / dt, 3),
+        "value": round(imgs_per_sec, 3),
         "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / ref_est, 3),
         "detail": {"device_kind": jax.devices()[0].device_kind,
-                   "step_ms": round(dt * 1e3, 2), "batch": batch},
+                   "step_ms": round(dt * 1e3, 2), "batch": batch,
+                   "flops_per_image": flops_per_image,
+                   "achieved_tflops": round(imgs_per_sec * flops_per_image / 1e12, 1),
+                   "ref_est_images_per_sec_a100_tf32": round(ref_est, 3)},
     }))
 
 
