@@ -22,6 +22,15 @@ gaussian color blobs + a few hard-edged rectangles). Two condition tasks:
         the copy-the-input floor is very low (inverted colors), and a
         trained sampler's PSNR can far exceed it — the right task shape for
         demonstrating end-to-end translation quality.
+  --task stochastic     A = the restore degradation of the canonical scene;
+        B = a uniformly random one of K=4 global color transforms of it
+        (_STOCH_MODES). The posterior p(B|A) has exactly K enumerable sharp
+        modes, so generative stochasticity is MEASURABLE: best-mode PSNR
+        (must commit to one mode, not average), mode coverage across
+        repeated draws, and the reference diversity metric all have ground
+        truth. val/test stages additionally emit every mode rendering under
+        <stage>/B_modes/<name>_m{k}.png for scoring
+        (scripts/eval_stochastic_demo.py).
 
 Deterministic per-index seeds make the dataset reproducible; B images for a
 given --seed are identical across tasks (so a first stage trained on one
@@ -107,21 +116,54 @@ def _gaussian_blur(img, sigma):
     return _conv1d_reflect(_conv1d_reflect(img, k, 0), k, 1)
 
 
+# the 4 global color modes of the --task stochastic posterior: bijective,
+# mutually distant transforms of the canonical scene (index = mode id)
+_STOCH_MODES = (
+    lambda c: c,                      # m0: identity
+    lambda c: 1.0 - c,                # m1: value inversion
+    lambda c: c[..., [1, 2, 0]],      # m2: channel cycle
+    lambda c: 1.0 - c[..., [2, 0, 1]],  # m3: inverted reverse cycle
+)
+
+
+def stochastic_modes(canonical):
+    """All K target renderings of one canonical scene (float [0,1] HWC)."""
+    return [np.clip(m(canonical), 0.0, 1.0) for m in _STOCH_MODES]
+
+
 def make_pair(seed, size, task="colorization", blur_sigma=4.0):
     rng = np.random.RandomState(seed)
     img = _gradient(rng, size)
     img = _add_blobs(rng, img, rng.randint(3, 7))
     img = _add_rects(rng, img, rng.randint(1, 4))
     img = np.clip(img, 0.0, 1.0)
+    modes = None
     if task == "colorization":
         luma = img[..., 0] * 0.299 + img[..., 1] * 0.587 + img[..., 2] * 0.114
         cond = np.repeat(luma[..., None], 3, axis=-1)
     elif task == "restore":
         cond = _gaussian_blur(1.0 - img[..., [1, 2, 0]], blur_sigma)
+    elif task == "stochastic":
+        # GENUINELY MULTI-MODAL posterior with known, enumerable modes: the
+        # condition still determines the canonical scene exactly (the
+        # invertible restore degradation), but the target is a UNIFORMLY
+        # RANDOM one of K=4 global color transforms of it. A perfect
+        # posterior sampler must (a) reconstruct the scene and (b) COMMIT to
+        # one mode per draw — mode-averaging (the failure low-NFE first-order
+        # samplers exhibit) lands between modes and scores badly against
+        # every one of them, which is what separates samplers on this task
+        # (VERDICT r4 Missing #4). Scoring: best-mode PSNR + mode coverage
+        # (scripts/eval_stochastic_demo.py) against the K renderings that
+        # write_stage() emits under <stage>/B_modes/ for val/test.
+        cond = _gaussian_blur(1.0 - img[..., [1, 2, 0]], blur_sigma)
+        modes = stochastic_modes(img)
+        img = modes[rng.randint(len(modes))]
     else:
         raise ValueError(f"unknown task {task!r}")
     b = (img * 255.0 + 0.5).astype(np.uint8)
     a = (np.clip(cond, 0, 1) * 255.0 + 0.5).astype(np.uint8)
+    if modes is not None:
+        return a, b, [(m * 255.0 + 0.5).astype(np.uint8) for m in modes]
     return a, b
 
 
@@ -131,11 +173,22 @@ def write_stage(out, stage, count, size, seed_base, task="colorization",
     b_dir = os.path.join(out, stage, "B")
     os.makedirs(a_dir, exist_ok=True)
     os.makedirs(b_dir, exist_ok=True)
+    # stochastic task: every possible mode rendering for val/test scoring
+    # (NOT for train — the loader must only ever see the sampled target)
+    modes_dir = os.path.join(out, stage, "B_modes")
+    want_modes = task == "stochastic" and stage != "train"
+    if want_modes:
+        os.makedirs(modes_dir, exist_ok=True)
     for i in range(count):
-        a, b = make_pair(seed_base + i, size, task=task, blur_sigma=blur_sigma)
+        pair = make_pair(seed_base + i, size, task=task, blur_sigma=blur_sigma)
+        a, b = pair[0], pair[1]
         name = f"{stage}_{i:05d}.png"
         Image.fromarray(a).save(os.path.join(a_dir, name))
         Image.fromarray(b).save(os.path.join(b_dir, name))
+        if want_modes:
+            for k, mimg in enumerate(pair[2]):
+                Image.fromarray(mimg).save(
+                    os.path.join(modes_dir, f"{stage}_{i:05d}_m{k}.png"))
     print(f"{stage}: {count} pairs -> {os.path.join(out, stage)}")
 
 
@@ -147,7 +200,7 @@ def main():
     ap.add_argument("--val", type=int, default=64)
     ap.add_argument("--test", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--task", choices=("colorization", "restore"),
+    ap.add_argument("--task", choices=("colorization", "restore", "stochastic"),
                     default="colorization")
     ap.add_argument("--blur-sigma", type=float, default=4.0,
                     help="restore-task blur stddev in pixels at --size")
