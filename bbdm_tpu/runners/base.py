@@ -375,6 +375,16 @@ class BaseRunner(ABC):
             test_ds, self.config.data.test.batch_size,
             shuffle=False, drop_last=True, **shard_kw,
         )
+        # training.device_data_cache: HBM-resident train/val sets with
+        # on-device batch gather — identical batch contents, per-step host
+        # uploads reduced to index vectors (data/device_cache.py; the test
+        # loader stays host-side: sample_to_eval is output-dominated)
+        from bbdm_tpu.data.device_cache import maybe_device_cache
+
+        train_loader = maybe_device_cache(
+            train_loader, self.mesh, self.config.training, self.logger)
+        val_loader = maybe_device_cache(
+            val_loader, self.mesh, self.config.training, self.logger)
         return train_loader, val_loader, test_loader
 
     def train(self):

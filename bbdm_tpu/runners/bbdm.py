@@ -152,6 +152,14 @@ class BBDMRunner(DiffusionBaseRunner):
             shuffle=True, drop_last=True, seed=self.config.args.seed,
             shard_count=nproc, shard_index=jax.process_index(),
         )
+        # the two encode passes below re-upload the whole train set twice —
+        # under training.device_data_cache they gather from HBM instead
+        # (placed on the sampling mesh, where _put_sample_batch shards)
+        from bbdm_tpu.data.device_cache import maybe_device_cache
+
+        loader = maybe_device_cache(
+            loader, getattr(self, "sample_mesh", self.mesh),
+            self.config.training, self.logger)
 
         def combine(*totals):
             if nproc == 1:
