@@ -56,7 +56,16 @@ def main():
     parser.add_argument("-n", "--num_samples", type=int, default=1)
     parser.add_argument("--weights", type=str, default=None,
                         help="metric backbone weights (FID/LPIPS)")
+    parser.add_argument("--cpu", action="store_true",
+                        help="run the metric networks on CPU (the jax-backed "
+                        "metrics otherwise claim the accelerator; use this to "
+                        "score while a training client owns the chip)")
     args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     if args.func_name == "rename_samples":
         src = os.path.join(args.root_dir, args.source_dir)
