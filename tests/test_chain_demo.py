@@ -86,3 +86,34 @@ def test_chain_demo_cpu(tmp_path):
     assert tput["sample_num"] == 5
     assert tput["delivered_samples_per_sec"] > 0
     assert tput["samples"] == tput["images"] * 5
+
+    # scripts/eval_sampler_sweep.py on the same checkpoints: the euler-vs-heun
+    # NFE sweep CLI (reference protocol 200-step euler,
+    # `model/BrownianBridge/BrownianBridgeModel.py:203-221`) must run the
+    # variants end to end and report comparable PSNR/SSIM rows
+    sweep = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "eval_sampler_sweep.py"),
+            "--cpu",
+            "--lbbdm-config", os.path.join(REPO, "configs/runs/LBBDM-smoke-cpu.yaml"),
+            "--vq-ckpt", report["vq_ckpt"],
+            "--bridge-ckpt", report["bridge_ckpt"],
+            "--result", str(tmp_path / "results_sweep"),
+            "--variants", "euler:3,heun:3",
+        ],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert sweep.returncode == 0, sweep.stderr[-4000:]
+    rows = [json.loads(line.split("[sweep] ", 1)[1])
+            for line in sweep.stdout.splitlines()
+            if line.startswith("[sweep] {")]
+    assert [(r["sampler"], r["steps"], r["nfe"]) for r in rows] == [
+        ("euler", 3, 3), ("heun", 3, 5)]
+    for r in rows:
+        assert 0.0 < r["psnr"] < 100.0, r
+        assert -1.0 <= r["ssim"] <= 1.0, r
