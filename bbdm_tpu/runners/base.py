@@ -356,7 +356,7 @@ class BaseRunner(ABC):
 
     # --------------------------------------------------------------- train
 
-    def _build_loaders(self):
+    def _build_loaders(self, for_training=True):
         train_ds, val_ds, test_ds = get_dataset(self.config.data)
         shard_kw = dict(
             shard_count=jax.process_count(),
@@ -378,13 +378,17 @@ class BaseRunner(ABC):
         # training.device_data_cache: HBM-resident train/val sets with
         # on-device batch gather — identical batch contents, per-step host
         # uploads reduced to index vectors (data/device_cache.py; the test
-        # loader stays host-side: sample_to_eval is output-dominated)
-        from bbdm_tpu.data.device_cache import maybe_device_cache
+        # loader stays host-side: sample_to_eval is output-dominated).
+        # test()/sample_to_eval never iterate the train split, so skip the
+        # eager multi-GB decode+upload there (for_training=False) — observed
+        # to cost ~13 min per sweep variant on the 256² chain dataset.
+        if for_training:
+            from bbdm_tpu.data.device_cache import maybe_device_cache
 
-        train_loader = maybe_device_cache(
-            train_loader, self.mesh, self.config.training, self.logger)
-        val_loader = maybe_device_cache(
-            val_loader, self.mesh, self.config.training, self.logger)
+            train_loader = maybe_device_cache(
+                train_loader, self.mesh, self.config.training, self.logger)
+            val_loader = maybe_device_cache(
+                val_loader, self.mesh, self.config.training, self.logger)
         return train_loader, val_loader, test_loader
 
     def train(self):
@@ -709,7 +713,7 @@ class BaseRunner(ABC):
 
     def test(self):
         """reference :556-595."""
-        _, val_loader, test_loader = self._build_loaders()
+        _, val_loader, test_loader = self._build_loaders(for_training=False)
         if len(test_loader) == 0:
             test_loader = val_loader
         self.state = place_state(self.mesh, self.state, self.model_parallel, self.fsdp)

@@ -311,7 +311,7 @@ def main():
         apply_cli_overrides(cfg_d, make_args(args.result, train=False,
                                              sample_to_eval=True))
         runner_d = get_runner(cfg_d.runner, cfg_d)
-        _, val_loader, test_loader = runner_d._build_loaders()
+        _, val_loader, test_loader = runner_d._build_loaders(for_training=False)
         if len(test_loader) == 0:
             test_loader = val_loader
         batch_size = cfg_d.data.test.batch_size

@@ -136,3 +136,29 @@ def test_runner_numerics_unchanged(tmp_path):
                                         jax.random.PRNGKey(3))
         losses[flag] = float(metrics["loss"])
     assert losses[False] == pytest.approx(losses[True], abs=0.0), losses
+
+
+def test_test_mode_skips_train_cache(tmp_path):
+    """_build_loaders(for_training=False) must NOT build device caches:
+    test()/sample_to_eval never iterate the train split, and the eager
+    decode+upload of a production train set costs minutes per sweep variant
+    (observed ~13 min for the 4.5 GB 256^2 chain dataset)."""
+    from bbdm_tpu.registry import get_runner
+
+    data = tmp_path / "data"
+    make_aligned_dataset(str(data))
+    cfg = make_config(tmp_path, str(data), n_epochs=1,
+                      accumulate_grad_batches=1, device_data_cache=True)
+    cfg.args = make_args(tmp_path / "res")
+    runner = get_runner("BBDMRunner", cfg)
+
+    train_loader, val_loader, _ = runner._build_loaders(for_training=False)
+    assert isinstance(train_loader, DataLoader)
+    assert isinstance(val_loader, DataLoader)
+    assert not isinstance(train_loader, DeviceCachedLoader)
+    assert not isinstance(val_loader, DeviceCachedLoader)
+
+    # the training path still caches
+    train_loader, val_loader, _ = runner._build_loaders()
+    assert isinstance(train_loader, DeviceCachedLoader)
+    assert isinstance(val_loader, DeviceCachedLoader)
