@@ -66,6 +66,16 @@ def main():
     for variant in args.variants.split(","):
         sampler, steps = variant.strip().split(":")
         steps = int(steps)
+        # resumable: one JSON report per variant (same convention as the
+        # chain/stochastic demo scripts) — an interrupted sweep re-run with
+        # the same --result picks up where it left off
+        rp = os.path.join(args.result, f"report_{sampler}{steps}.json")
+        if os.path.exists(rp):
+            with open(rp) as f:
+                rows.append(json.load(f))
+            print(f"[sweep] {sampler}:{steps} report exists, skipping",
+                  flush=True)
+            continue
         cfg = load_config(args.lbbdm_config)
         cfg.model.VQGAN.params.ckpt_path = args.vq_ckpt
         cfg.model.model_load_path = args.bridge_ckpt
@@ -84,6 +94,9 @@ def main():
         nfe = 2 * (steps - 1) + 1 if sampler == "heun" else steps
         row = {"sampler": sampler, "steps": steps, "nfe": nfe,
                "wall_sec_incl_compile": round(wall, 1), **res}
+        os.makedirs(args.result, exist_ok=True)
+        with open(rp, "w") as f:
+            json.dump(row, f, indent=1, default=float)
         rows.append(row)
         print("[sweep] " + json.dumps(row, default=float), flush=True)
 

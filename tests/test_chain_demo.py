@@ -117,3 +117,16 @@ def test_chain_demo_cpu(tmp_path):
     for r in rows:
         assert 0.0 < r["psnr"] < 100.0, r
         assert -1.0 <= r["ssim"] <= 1.0, r
+
+    # per-variant reports make the sweep resumable: a re-run with the same
+    # --result must skip both variants (no recompute) yet print the same rows
+    rerun = subprocess.run(
+        sweep.args, cwd=str(tmp_path), env=env,
+        capture_output=True, text=True, timeout=300,
+    )
+    assert rerun.returncode == 0, rerun.stderr[-4000:]
+    assert rerun.stdout.count("report exists, skipping") == 2, rerun.stdout
+    rows2 = [json.loads(line.split("[sweep] ", 1)[1])
+             for line in rerun.stdout.splitlines()
+             if line.startswith("[sweep] {")]
+    assert rows2 == []  # skipped variants are read from disk, not re-printed
