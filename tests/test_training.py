@@ -208,8 +208,10 @@ class TestTrainStep:
 
 
 def test_sigterm_triggers_emergency_save(tmp_path):
-    """SIGTERM during the train loop routes into the emergency checkpoint
-    path (extends the reference's exception-only save, BaseRunner.py:537-554)."""
+    """A REPEATED SIGTERM during the train loop escalates past the graceful
+    stop into the emergency checkpoint path (extends the reference's
+    exception-only save, BaseRunner.py:537-554). The single-SIGTERM graceful
+    deferral is covered by tests/test_graceful_stop.py."""
     import os
     import signal
 
@@ -223,14 +225,17 @@ def test_sigterm_triggers_emergency_save(tmp_path):
     runner = get_runner("BBDMRunner", cfg)
 
     # deliver SIGTERM to ourselves partway through training via a step hook:
-    # patch the jitted step to fire the signal on call #3
+    # patch the jitted step to fire the signal TWICE on call #3 — the first
+    # delivery requests the graceful stop, the second escalates to the
+    # emergency-save raise (runners/base.py SIGTERM contract)
     calls = {"n": 0}
     real_step = runner._train_step
 
     def step_with_signal(*a, **kw):
         calls["n"] += 1
         if calls["n"] == 3:
-            os.kill(os.getpid(), signal.SIGTERM)
+            os.kill(os.getpid(), signal.SIGTERM)  # graceful request
+            os.kill(os.getpid(), signal.SIGTERM)  # escalate to the raise
         return real_step(*a, **kw)
 
     runner._train_step = step_with_signal
