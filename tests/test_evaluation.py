@@ -207,3 +207,33 @@ class TestInceptionPort:
         assert out.shape == (1, 2048)
         # all FID-relevant torch modules present for the converter
         assert "Mixed_7c" in params and "Conv2d_1a_3x3" in params
+
+
+class TestRandomInceptionFabrication:
+    def test_fabricated_backbone_yields_discriminative_features(self, tmp_path):
+        """scripts/make_random_inception.py writes a torch .pth that (a) goes
+        through the SAME converter as real weights and (b) produces pool3
+        features with nonzero spread — torch's default conv init collapses
+        the ~20-conv stack to ~0 features (FID ~1e-42 between ANY two sets),
+        which is what the He re-init in the script exists to prevent."""
+        out = str(tmp_path / "fid_inception_rand.pth")
+        r = subprocess.run(
+            [sys.executable, "scripts/make_random_inception.py",
+             "--out", out, "--seed", "3"],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+
+        from bbdm_tpu.evaluation.fid import load_fid_params
+        from bbdm_tpu.evaluation.inception import FIDInceptionV3
+
+        params = load_fid_params(out)
+        model = FIDInceptionV3(resize_input=False)
+        rs = np.random.RandomState(0)
+        x = jnp.asarray(rs.rand(2, 75, 75, 3).astype(np.float32))
+        feats = np.asarray(model.apply({"params": params}, x))
+        assert feats.shape == (2, 2048)
+        assert np.all(np.isfinite(feats))
+        # discriminative: distinct inputs -> distinct, non-degenerate features
+        assert float(np.abs(feats[0] - feats[1]).max()) > 1e-3
+        assert float(feats.std()) > 1e-3
