@@ -103,6 +103,13 @@ def main():
                     help="phase-D sample_num (canonical protocol: 5)")
     ap.add_argument("--bench-images", type=int, default=32,
                     help="phase-D test images to sweep (timed)")
+    ap.add_argument("--bench-sampler", default=None,
+                    help="phase-D sampler override (euler/heun; default: "
+                         "the config's) — e.g. the measured euler@50 "
+                         "production recipe, BENCH_NOTES round 5")
+    ap.add_argument("--bench-sample-step", type=int, default=None,
+                    help="phase-D sample_step override (default: the "
+                         "config's 200-step reference protocol)")
     ap.add_argument("--throughput-only", action="store_true",
                     help="skip phases A-C and run ONLY the phase-D delivered-"
                          "throughput benchmark (random-init weights unless "
@@ -308,6 +315,10 @@ def main():
             # normalize is two scalar affines per stream (wall-time neutral)
             cfg_d.model.normalize_latent = False
         cfg_d.testing.sample_num = args.bench_sample_num
+        if args.bench_sampler is not None:
+            cfg_d.model.BB.params.sampler = args.bench_sampler
+        if args.bench_sample_step is not None:
+            cfg_d.model.BB.params.sample_step = args.bench_sample_step
         apply_cli_overrides(cfg_d, make_args(args.result, train=False,
                                              sample_to_eval=True))
         runner_d = get_runner(cfg_d.runner, cfg_d)
@@ -339,6 +350,8 @@ def main():
         samples = images * args.bench_sample_num
         write_report(args.result, "throughput", {
             "sample_num": args.bench_sample_num,
+            "sampler": cfg_d.model.BB.params.sampler,
+            "sample_step": int(cfg_d.model.BB.params.sample_step),
             "images": images,
             "samples": samples,
             "wall_sec": round(wall, 2),

@@ -44,6 +44,9 @@ def test_chain_demo_cpu(tmp_path):
             # the time-boxing caps (smoke configs say n_epochs=2; cap to 1)
             "--epochs-a", "1",
             "--epochs-b", "1",
+            # phase-D sampler overrides (the euler@50-recipe knobs, tiny here)
+            "--bench-sampler", "euler",
+            "--bench-sample-step", "3",
         ],
         cwd=str(tmp_path),
         env=env,
@@ -81,11 +84,14 @@ def test_chain_demo_cpu(tmp_path):
         assert 0.0 < psnr < 100.0, (key, psnr)
         assert -1.0 <= ssim <= 1.0, (key, ssim)
 
-    # phase D: delivered-throughput sweep at the canonical sample_num
+    # phase D: delivered-throughput sweep at the canonical sample_num,
+    # with the sampler/steps overrides applied and recorded
     tput = rep("throughput")
     assert tput["sample_num"] == 5
     assert tput["delivered_samples_per_sec"] > 0
     assert tput["samples"] == tput["images"] * 5
+    assert tput["sampler"] == "euler"
+    assert tput["sample_step"] == 3
 
     # scripts/eval_sampler_sweep.py on the same checkpoints: the euler-vs-heun
     # NFE sweep CLI (reference protocol 200-step euler,
